@@ -1,0 +1,21 @@
+"""Test harness config: run the suite on a virtual 8-device CPU mesh so CI
+needs no TPU (SURVEY.md §4); sharding tests exercise the same pjit paths the
+driver validates via __graft_entry__.dryrun_multichip.
+
+Note: the environment may pre-register an external TPU plugin and pin
+JAX_PLATFORMS; overriding the config after import is the reliable way to
+pin tests to CPU.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,128 @@
+"""Engine semantics: accumulation, Refresh, algorithm switch, resize
+(src/main.cpp:649-698, 936-937) and the render_step frame flow."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
+from volumerenderer_tpu.engine.state import RenderState, accumulate
+from volumerenderer_tpu.grid import procedural
+
+
+def small_renderer(**kw):
+    g = procedural.fog_sphere(n=24, center_world=(0.0, 0.0, 10.0),
+                              world_extent=20.0)
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -15.0]),
+        light_source_world_pos=jnp.float32([0.0, 0.0, 10.0]),
+        scattering_probability=jnp.float32(0.4),
+        ray_max_distance=jnp.float32(60.0),
+        max_lights=jnp.asarray(64, jnp.int32),
+    )
+    config = StaticConfig(width=16, height=12, light_capacity=64,
+                          max_events_per_photon=8, ray_tile=64,
+                          max_points_per_segment=32, max_path_segments=8)
+    return Renderer(g, config, params, **kw)
+
+
+def test_accumulate_formula():
+    acc = jnp.full((4, 4), 0.5)
+    frame = jnp.full((4, 4), 1.0)
+    out = accumulate(acc, frame, jnp.asarray(4))
+    np.testing.assert_allclose(np.asarray(out), (0.5 * 3 + 1.0) / 4)
+    # Frame 1 ignores previous contents entirely.
+    out1 = accumulate(jnp.full((4, 4), 9.0) * 0, frame, jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(out1), 1.0)
+
+
+def test_first_frame_defines_image_and_counter():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step()
+    assert int(r.state.frame_count) == 1
+    first = r.image()[..., 0].copy()
+    assert first.max() > 0, "fog sphere in front of camera should light up"
+
+
+def test_progressive_average_converges():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step()
+    f1 = r.image()[..., 0].copy()
+    r.step(7)
+    assert int(r.state.frame_count) == 8
+    f8 = r.image()[..., 0]
+    # Accumulated image is a convex combination of per-frame images; it must
+    # stay within global bounds and differ from frame 1 (different photons).
+    assert f8.max() <= 1.0 + 1e-6 and f8.min() >= 0.0
+    assert not np.allclose(f1, f8)
+
+
+def test_algorithm_switch_resets_accumulation():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(3)
+    r.set_algorithm(Algorithm.SPHERE)
+    assert int(r.state.frame_count) == 0
+    r.step()
+    assert int(r.state.frame_count) == 1
+
+
+def test_same_algorithm_switch_keeps_accumulation():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(2)
+    r.set_algorithm(Algorithm.POINT)  # no-op, as in the combo callback
+    assert int(r.state.frame_count) == 2
+
+
+def test_param_edit_does_not_reset_until_refresh():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(2)
+    r.set(absorption_coefficient=0.2)
+    assert int(r.state.frame_count) == 2  # sliders never reset (main.cpp:662-692)
+    r.refresh()
+    assert int(r.state.frame_count) == 0
+    r.step()
+    assert int(r.state.frame_count) == 1
+
+
+def test_resize_resets_and_reshapes():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(2)
+    r.resize(8, 6)
+    assert r.state.accum.shape == (6, 8)
+    assert int(r.state.frame_count) == 0
+
+
+def test_lights_regenerated_each_frame():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step()
+    c1 = int(r.lights.count)
+    pos1 = np.asarray(r.lights.pos_to).copy()
+    r.step()
+    c2 = int(r.lights.count)
+    pos2 = np.asarray(r.lights.pos_to)
+    assert c1 > 0 and c2 > 0
+    # Different frame -> different seeds -> different scatter positions.
+    assert not np.allclose(pos1[: min(c1, c2)], pos2[: min(c1, c2)])
+
+
+def test_path_runs_end_to_end():
+    r = small_renderer(algorithm=Algorithm.PATH)
+    r.step(2)
+    img = r.image()
+    assert img.shape == (12, 16, 3)
+    assert int(r.lights.count) == 0  # path_light_gen is a no-op
+
+
+def test_all_algorithms_produce_finite_images():
+    for algo in Algorithm:
+        r = small_renderer(algorithm=algo)
+        r.step(2)
+        img = r.image()
+        assert np.isfinite(img).all(), algo
+        assert img.min() >= 0.0 and img.max() <= 1.0, algo
+
+
+def test_u8_presentation():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step()
+    u8 = r.image_u8()
+    assert u8.dtype == np.uint8 and u8.shape == (12, 16, 3)

@@ -1,0 +1,77 @@
+"""Gather implementations: chunked XLA vs direct, Pallas kernel (interpret
+mode) vs XLA, and light compaction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from volumerenderer_tpu.ops import gather, lights as L
+
+
+def scene(n=700, nl=900, seed=16):
+    rs = np.random.RandomState(seed)
+    samples = (rs.randn(n, 3) * 8 + 15).astype(np.float32)
+    lpos = (rs.randn(nl, 3) * 8 + 15).astype(np.float32)
+    lint = (rs.rand(nl) * 20).astype(np.float32)
+    valid = rs.rand(nl) < 0.8
+    return map(jnp.asarray, (samples, lpos, lint, valid))
+
+
+def test_chunked_xla_matches_direct():
+    samples, lpos, lint, valid = scene()
+    direct = L.gather_point_lights(samples, lpos, lint, valid)
+    chunked = gather.gather_xla(
+        samples, lpos, lint, valid, sphere=False, light_chunk=128
+    )
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct), rtol=1e-5)
+
+    direct_s = L.gather_sphere_lights(samples, lpos, lint, valid, 0.3)
+    chunked_s = gather.gather_xla(
+        samples, lpos, lint, valid, sphere=True, radius=0.3, light_chunk=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked_s), np.asarray(direct_s), rtol=1e-4
+    )
+
+
+def test_mxu_kernel_interpret_matches_xla():
+    samples, lpos, lint, valid = scene(n=300, nl=200)
+    center = jnp.float32([15.0, 15.0, 15.0])
+    for sphere in (False, True):
+        want = gather.gather_xla(
+            samples, lpos, lint, valid, sphere=sphere, radius=0.3
+        )
+        got = gather.gather(
+            samples,
+            lpos,
+            lint,
+            valid,
+            sphere=sphere,
+            radius=0.3,
+            impl="mxu_interpret",
+            center=center,
+        )
+        # matmul-form cancellation bounds accuracy; centered coords keep the
+        # relative error of the per-sample sums tight.
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-5
+        )
+
+
+def test_compact_valid():
+    rs = np.random.RandomState(17)
+    pos = rs.randn(50, 3).astype(np.float32)
+    inten = rs.rand(50).astype(np.float32)
+    valid = rs.rand(50) < 0.5
+    cpos, cint, cvalid, dropped = L.compact_valid(
+        jnp.asarray(pos), jnp.asarray(inten), jnp.asarray(valid), 64
+    )
+    nv = int(valid.sum())
+    assert int(cvalid.sum()) == nv and int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(cpos)[:nv], pos[valid])
+    np.testing.assert_allclose(np.asarray(cint)[:nv], inten[valid])
+    # Overflow: capacity 4.
+    cpos, cint, cvalid, dropped = L.compact_valid(
+        jnp.asarray(pos), jnp.asarray(inten), jnp.asarray(valid), 4
+    )
+    assert int(cvalid.sum()) == 4 and int(dropped) == nv - 4
+    np.testing.assert_allclose(np.asarray(cpos), pos[valid][:4])

@@ -1,0 +1,87 @@
+"""DenseGrid: sampling, transforms, brick metadata, procedural volumes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import reference_impl as ref
+from volumerenderer_tpu.grid import BRICK, from_dense, procedural
+
+
+def small_grid():
+    rs = np.random.RandomState(3)
+    vals = (rs.rand(10, 12, 9) < 0.4) * rs.rand(10, 12, 9).astype(np.float32)
+    return from_dense(vals, bbox_min=(-3, 5, 2), voxel_size=0.7,
+                      translation=(1.5, -2.0, 3.0)), vals
+
+
+def test_padding_and_bbox():
+    g, vals = small_grid()
+    assert all(s % BRICK == 0 for s in g.voxels.shape)
+    np.testing.assert_array_equal(np.asarray(g.bbox_min), [-3, 5, 2])
+    np.testing.assert_array_equal(np.asarray(g.bbox_max), [-3 + 9, 5 + 11, 2 + 8])
+    # Padded voxels are zero.
+    v = np.asarray(g.voxels)
+    np.testing.assert_array_equal(v[: vals.shape[0], : vals.shape[1], : vals.shape[2]], vals)
+    assert v[vals.shape[0]:].sum() == 0
+
+
+def test_sample_ijk_matches_oracle():
+    g, vals = small_grid()
+    gnp = ref.grid_to_np(g)
+    rs = np.random.RandomState(4)
+    coords = rs.randint(-8, 20, size=(300, 3))
+    got = np.asarray(g.sample_ijk(jnp.asarray(coords, jnp.int32)))
+    want = np.array([ref.sample_ijk(gnp, c) for c in coords], np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_transform_roundtrip():
+    g, _ = small_grid()
+    rs = np.random.RandomState(5)
+    p = rs.randn(50, 3).astype(np.float32) * 10
+    back = np.asarray(g.world_to_index(g.index_to_world(jnp.asarray(p))))
+    np.testing.assert_allclose(back, p, atol=1e-3)
+
+
+def test_transform_matches_oracle():
+    g, _ = small_grid()
+    gnp = ref.grid_to_np(g)
+    p = np.array([3.7, -1.2, 8.8], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(g.world_to_index(jnp.asarray(p))),
+        ref.world_to_index(gnp, p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g.index_to_world(jnp.asarray(p))),
+        ref.index_to_world(gnp, p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g.world_to_index_dir(jnp.asarray(p))),
+        ref.world_to_index_dir(gnp, p), rtol=1e-6)
+
+
+def test_brick_occupancy():
+    vals = np.zeros((16, 16, 16), np.float32)
+    vals[0, 0, 0] = 1.0   # brick (0,0,0)
+    vals[9, 9, 9] = 2.0   # brick (1,1,1)
+    g = from_dense(vals)
+    occ = np.asarray(g.brick_occ)
+    assert occ.shape == (2, 2, 2)
+    assert occ[0, 0, 0] and occ[1, 1, 1]
+    assert occ.sum() == 2
+    assert np.asarray(g.brick_max)[1, 1, 1] == 2.0
+
+
+def test_trilinear_at_voxel_centers():
+    g, vals = small_grid()
+    # At a voxel center the trilinear value equals the voxel value.
+    ijk = np.array([2, 3, 4])
+    pos = (np.asarray(g.bbox_min) + ijk + 0.5).astype(np.float32)
+    got = float(g.sample_trilinear(jnp.asarray(pos)))
+    assert got == pytest.approx(float(vals[tuple(ijk)]), rel=1e-5)
+
+
+def test_procedural_volumes_shape():
+    for g in (procedural.fog_sphere(n=32), procedural.cloud(n=32)):
+        v = np.asarray(g.voxels)
+        assert v.max() > 0 and v.min() == 0.0
+        assert all(s % BRICK == 0 for s in v.shape)

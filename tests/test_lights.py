@@ -1,0 +1,71 @@
+"""Light-model parity and segment expansion."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import reference_impl as ref
+from volumerenderer_tpu.ops import lights as L
+
+
+def test_point_light_parity_and_guard():
+    rs = np.random.RandomState(7)
+    s = rs.randn(100, 3).astype(np.float32) * 5
+    p = rs.randn(100, 3).astype(np.float32) * 5
+    it = rs.rand(100).astype(np.float32) * 50
+    got = np.asarray(L.point_light_scalar(jnp.asarray(s), jnp.asarray(p), jnp.asarray(it)))
+    want = np.array([ref.point_light_contribution(s[i], p[i], it[i]) for i in range(100)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # Guard: d^2 < 1e-4 -> 0.
+    assert float(L.point_light_scalar(jnp.float32([0, 0, 0]), jnp.float32([0, 0, 0.005]), 10.0)) == 0.0
+
+
+def test_sphere_light_parity():
+    rs = np.random.RandomState(8)
+    s = rs.randn(100, 3).astype(np.float32) * 5
+    c = rs.randn(100, 3).astype(np.float32) * 5
+    it = rs.rand(100).astype(np.float32) * 50
+    r = 0.3
+    got = np.asarray(L.sphere_light_scalar(jnp.asarray(s), jnp.asarray(c), jnp.asarray(it), r))
+    want = np.array([ref.sphere_light_contribution(s[i], c[i], it[i], r) for i in range(100)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_expand_segments_matches_loop():
+    pos_from = jnp.float32([[0, 0, 0], [1, 1, 1], [5, 5, 5]])
+    pos_to = jnp.float32([[1, 0, 0], [1, 1, 1.05], [5, 5, 9]])
+    inten = jnp.float32([3.0, 2.0, 8.0])
+    valid = jnp.asarray([True, True, False])
+    step = 0.3
+    pts, ints, vmask = L.expand_segments(pos_from, pos_to, inten, valid, step, 16)
+    pts, ints, vmask = map(np.asarray, (pts, ints, vmask))
+    # Light 0: length 1 -> 3 steps at 0, .3, .6 with intensity 1.0 each.
+    sel = vmask[:16]
+    assert sel.sum() == 3
+    np.testing.assert_allclose(pts[:3, 0], [0.0, 0.3, 0.6], atol=1e-6)
+    np.testing.assert_allclose(ints[:3], 1.0, rtol=1e-6)
+    # Light 1: shorter than one step -> no points (ref loop never runs).
+    assert vmask[16:32].sum() == 0
+    # Light 2: invalid slot -> masked out.
+    assert vmask[32:].sum() == 0
+
+
+def test_gather_matches_sum_of_scalars():
+    rs = np.random.RandomState(9)
+    samples = rs.randn(20, 3).astype(np.float32) * 3
+    lpos = rs.randn(7, 3).astype(np.float32) * 3
+    lint = rs.rand(7).astype(np.float32) * 10
+    valid = np.array([True] * 5 + [False] * 2)
+    got = np.asarray(L.gather_point_lights(
+        jnp.asarray(samples), jnp.asarray(lpos), jnp.asarray(lint), jnp.asarray(valid)))
+    want = np.array([
+        sum(ref.point_light_contribution(s, lpos[i], lint[i]) for i in range(5))
+        for s in samples])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    got_s = np.asarray(L.gather_sphere_lights(
+        jnp.asarray(samples), jnp.asarray(lpos), jnp.asarray(lint),
+        jnp.asarray(valid), 0.25))
+    want_s = np.array([
+        sum(ref.sphere_light_contribution(s, lpos[i], lint[i], 0.25) for i in range(5))
+        for s in samples])
+    np.testing.assert_allclose(got_s, want_s, rtol=2e-4)

@@ -1,0 +1,64 @@
+"""PATH algorithm parity vs the loopy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import reference_impl as ref
+from volumerenderer_tpu.engine.params import Fidelity, RenderParams, StaticConfig
+from volumerenderer_tpu.grid import from_dense
+from volumerenderer_tpu.render import color, path
+
+
+def make_scene(fidelity=Fidelity.REFERENCE):
+    rs = np.random.RandomState(14)
+    vals = (rs.rand(14, 14, 14) < 0.5) * (rs.rand(14, 14, 14) * 0.9 + 0.1)
+    g = from_dense(vals.astype(np.float32), voxel_size=1.2,
+                   translation=(-8.0, -8.0, 5.0))
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.3, -0.2, -13.0]),
+        fov=jnp.float32(48.0),
+        light_source_world_pos=jnp.float32([-2.0, 1.0, 11.0]),
+        scattering_probability=jnp.float32(0.25),
+        absorption_coefficient=jnp.float32(0.15),
+        ray_max_distance=jnp.float32(60.0),
+        ray_marching_step_size=jnp.float32(0.77),
+        photon_initial_intensity=jnp.float32(200.0),
+    )
+    config = StaticConfig(width=10, height=8, ray_tile=32,
+                          max_path_segments=24, fidelity=fidelity)
+    return g, params, config
+
+
+@pytest.mark.parametrize("frame_count", [1, 3])
+def test_path_matches_oracle_reference_fidelity(frame_count):
+    g, params, config = make_scene()
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    frame = np.asarray(path.render_frame(g, params, frame_count, config, steps))
+    want = ref.render_path(g, params, frame_count, config.width, config.height,
+                           max_segments=config.max_path_segments,
+                           fidelity="reference")
+    np.testing.assert_allclose(frame, want, rtol=5e-3, atol=5e-5)
+
+
+def test_path_corrected_fidelity_runs_and_differs():
+    g, params, config = make_scene(Fidelity.CORRECTED)
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    corrected = np.asarray(path.render_frame(g, params, 1, config, steps))
+    g2, p2, c2 = make_scene(Fidelity.REFERENCE)
+    reference = np.asarray(path.render_frame(g2, p2, 1, c2, steps))
+    assert corrected.shape == reference.shape
+    assert not np.allclose(corrected, reference)  # the bug is visible
+
+
+def test_path_corrected_matches_oracle():
+    g, params, config = make_scene(Fidelity.CORRECTED)
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    frame = np.asarray(path.render_frame(g, params, 1, config, steps))
+    want = ref.render_path(g, params, 1, config.width, config.height,
+                           max_segments=config.max_path_segments,
+                           fidelity="corrected")
+    np.testing.assert_allclose(frame, want, rtol=5e-3, atol=5e-5)

@@ -1,0 +1,79 @@
+"""Photon-walk light generation vs the loopy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import reference_impl as ref
+from volumerenderer_tpu.engine.params import RenderParams, StaticConfig
+from volumerenderer_tpu.grid import from_dense
+from volumerenderer_tpu.render import photon
+
+
+def make_scene():
+    rs = np.random.RandomState(12)
+    vals = (rs.rand(16, 16, 16) < 0.6) * (rs.rand(16, 16, 16) * 0.8 + 0.2)
+    g = from_dense(vals.astype(np.float32), voxel_size=1.3,
+                   translation=(-10.0, -10.0, -10.0))
+    params = RenderParams.default().replace(
+        light_source_world_pos=jnp.float32([0.0, 0.0, 0.0]),  # inside volume
+        scattering_probability=jnp.float32(0.35),
+        absorption_coefficient=jnp.float32(0.08),
+        ray_max_distance=jnp.float32(80.0),
+        ray_marching_step_size=jnp.float32(0.9),
+        photon_initial_intensity=jnp.float32(100.0),
+        max_lights=jnp.asarray(64, jnp.int32),
+    )
+    config = StaticConfig(
+        num_photons=16, light_capacity=64, max_events_per_photon=16)
+    return g, params, config
+
+
+def test_photon_events_match_oracle():
+    g, params, config = make_scene()
+    for frame in (1, 2, 7):
+        la = photon.generate_lights(g, params, frame, config, max_steps=64)
+        want_events, want_count = ref.generate_lights(
+            g, params, frame, num_photons=16, max_events_per_photon=16)
+        count = int(la.count)
+        assert count == want_count, f"frame {frame}: {count} != {want_count}"
+        assert count > 0, "scene should scatter"
+        pf = np.asarray(la.pos_from)[:count]
+        pt = np.asarray(la.pos_to)[:count]
+        it = np.asarray(la.intensity)[:count]
+        for i, (wf, wt, wi) in enumerate(want_events):
+            np.testing.assert_allclose(pf[i], wf, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"frame {frame} event {i} from")
+            np.testing.assert_allclose(pt[i], wt, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"frame {frame} event {i} to")
+            np.testing.assert_allclose(it[i], wi, rtol=1e-3,
+                                       err_msg=f"frame {frame} event {i} int")
+        assert not np.asarray(la.valid)[count:].any()
+
+
+def test_max_lights_clamp():
+    g, params, config = make_scene()
+    params = params.replace(max_lights=jnp.asarray(3, jnp.int32))
+    la = photon.generate_lights(g, params, 1, config, max_steps=64)
+    assert int(la.count) == 3
+    assert np.asarray(la.valid).sum() == 3
+
+
+def test_empty_lights_for_path():
+    config = StaticConfig(light_capacity=8)
+    la = photon.empty_lights(config)
+    assert int(la.count) == 0 and not np.asarray(la.valid).any()
+
+
+def test_photon_chain_structure():
+    # positionFrom of event k+1 equals positionTo of event k for the same
+    # photon (the previousPosition chain, light_gen.comp:81-84).
+    g, params, config = make_scene()
+    want_events, _ = ref.generate_lights(
+        g, params, 1, num_photons=16, max_events_per_photon=16)
+    # Oracle guarantees it by construction; check our array obeys it too by
+    # matching the oracle event-for-event (covered above).  Here just check
+    # the first event of some photon starts at the light source.
+    la = photon.generate_lights(g, params, 1, config, max_steps=64)
+    src = np.float32([0.0, 0.0, 0.0])
+    pf = np.asarray(la.pos_from)[: int(la.count)]
+    assert (np.linalg.norm(pf - src, axis=-1) < 1e-4).any()

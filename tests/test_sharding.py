@@ -1,0 +1,82 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded render ==
+single-device render, for both pixel-row DP and light-axis sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from volumerenderer_tpu import Algorithm, RenderParams, StaticConfig
+from volumerenderer_tpu.engine.state import RenderState
+from volumerenderer_tpu.engine.step import render_step
+from volumerenderer_tpu.grid import procedural
+from volumerenderer_tpu.parallel import sharding
+from volumerenderer_tpu.render.color import required_march_steps
+
+
+def scene():
+    g = procedural.fog_sphere(n=24, center_world=(0.0, 0.0, 10.0),
+                              world_extent=20.0)
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -15.0]),
+        light_source_world_pos=jnp.float32([0.0, 0.0, 10.0]),
+        scattering_probability=jnp.float32(0.4),
+        ray_max_distance=jnp.float32(60.0),
+        max_lights=jnp.asarray(64, jnp.int32),
+    )
+    config = StaticConfig(width=16, height=16, light_capacity=64,
+                          max_events_per_photon=8, ray_tile=64,
+                          max_points_per_segment=32, max_path_segments=8)
+    return g, params, config
+
+
+def _single_device_frames(g, params, config, algorithm, n_frames=2):
+    state = RenderState.create(config.height, config.width)
+    steps = required_march_steps(g, 1.0, config.max_march_steps)
+    for _ in range(n_frames):
+        state, _ = render_step(
+            g, params, state, algorithm=algorithm, config=config,
+            max_steps=steps)
+    return np.asarray(state.accum), steps
+
+
+@pytest.mark.parametrize(
+    "algorithm", [Algorithm.POINT, Algorithm.RAY, Algorithm.PATH]
+)
+def test_row_sharded_matches_single_device(algorithm):
+    assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+    g, params, config = scene()
+    want, steps = _single_device_frames(g, params, config, algorithm)
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    state = RenderState.create(config.height, config.width)
+    state = state.replace(accum=sharding.shard_rows(mesh, state.accum))
+    for _ in range(2):
+        state = sharding.sharded_render_step(
+            g, params, state, algorithm=algorithm, config=config,
+            max_steps=steps, mesh=mesh)
+    got = np.asarray(state.accum)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_light_sharded_matches_single_device():
+    g, params, config = scene()
+    steps = required_march_steps(g, 1.0, config.max_march_steps)
+    # Single-device frame 1 (POINT).
+    state = RenderState.create(config.height, config.width)
+    state1, _ = render_step(
+        g, params, state, algorithm=Algorithm.POINT, config=config,
+        max_steps=steps)
+    want = np.asarray(state1.accum)
+
+    mesh = sharding.make_mesh(jax.devices()[:8], lights_axis=4)  # 2 x 4 mesh
+    state = RenderState.create(config.height, config.width)
+    frame = sharding.light_sharded_radiance(
+        g, params, state, algorithm=Algorithm.POINT, config=config,
+        max_steps=steps, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(frame), want, rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        sharding.make_mesh(jax.devices()[:6], lights_axis=4)

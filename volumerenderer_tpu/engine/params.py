@@ -1,0 +1,111 @@
+"""Scene / render parameters — the TPU-native replacement for the UBO + ImGui
+state (src/main.cpp:83-98, 538-562; shaders/common_bindings.h:19-34).
+
+Two pieces:
+
+  * ``RenderParams`` — a pytree of the 14 UBO fields (minus frameCount, which
+    is render *state*, and framebufferDim, which is static shape).  Editing a
+    field is a functional ``replace``; no re-upload machinery needed — jit
+    retraces nothing because these are traced leaves.
+  * ``StaticConfig`` — hashable compile-time configuration: image size and
+    every capacity that sizes an array (light slots, march trip counts...).
+    These correspond to the reference's compile-time constants
+    (src/main.cpp:40-44, 383; light_gen.comp:7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class Algorithm(enum.IntEnum):
+    """Algorithm ids, same order as the reference enum (src/main.cpp:65-68)
+    and the ImGui combo (src/main.cpp:652)."""
+
+    BEAM = 0
+    RAY = 1
+    POINT = 2
+    SPHERE = 3
+    PATH = 4
+
+
+class Fidelity(enum.Enum):
+    """PATH single-light transmittance handling.
+
+    REFERENCE reproduces path_compute_color.comp:9-31 literally, including
+    the frozen march position (the loop attenuates N times by the density at
+    one fixed point one step from the light: line 20 never advances with s).
+    CORRECTED marches the light->sample segment properly.
+    """
+
+    REFERENCE = "reference"
+    CORRECTED = "corrected"
+
+
+@struct.dataclass
+class RenderParams:
+    """UBO fields (std140 block at common_bindings.h:19-34), defaults from
+    src/main.cpp:546-559."""
+
+    camera_pos: jnp.ndarray  # vec3, default (0, 20, -75)
+    fov: jnp.ndarray  # degrees
+    photon_initial_intensity: jnp.ndarray
+    scattering_probability: jnp.ndarray
+    absorption_coefficient: jnp.ndarray
+    max_lights: jnp.ndarray  # uint runtime cap (<= StaticConfig.light_capacity)
+    ray_max_distance: jnp.ndarray
+    ray_marching_step_size: jnp.ndarray
+    light_source_world_pos: jnp.ndarray  # vec3
+    beam_radius: jnp.ndarray
+    light_ray_step_size: jnp.ndarray
+    radius_falloff: jnp.ndarray  # plumbed but unused, as in the reference
+
+    @classmethod
+    def default(cls) -> "RenderParams":
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return cls(
+            camera_pos=f32([0.0, 20.0, -75.0]),
+            fov=f32(45.0),
+            photon_initial_intensity=f32(100.0),
+            scattering_probability=f32(0.05),
+            absorption_coefficient=f32(0.05),
+            max_lights=jnp.asarray(1000, jnp.int32),
+            ray_max_distance=f32(2500.0),
+            ray_marching_step_size=f32(1.0),
+            light_source_world_pos=f32([-20.0, 15.0, -15.0]),
+            beam_radius=f32(0.1),
+            light_ray_step_size=f32(0.3),
+            radius_falloff=f32(0.5),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticConfig:
+    """Hashable compile-time knobs (passed as static to jit)."""
+
+    width: int = 1024  # src/main.cpp:40
+    height: int = 1024  # src/main.cpp:41
+    num_photons: int = 16  # 1x1x1 dispatch x 4x4 local (src/main.cpp:814)
+    light_capacity: int = 1000  # slot-array size; reference buffer holds 100k
+    max_march_steps: int = 2500  # static bound on color-march trip count
+    max_photon_steps: int = 4096  # bound on the (unbounded) photon walk
+    max_events_per_photon: int = 256  # scatter-event slots per photon
+    max_path_segments: int = 8  # scatter re-origins per camera path
+    max_points_per_segment: int = 512  # Ray/Beam sub-light cap per segment
+    expanded_light_capacity: int = 16384  # compacted Ray/Beam sub-light slots
+    gather_samples: int = 256  # top-k march samples kept per ray (0 = all)
+    gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
+    fidelity: Fidelity = Fidelity.REFERENCE
+    ray_tile: int = 16384  # rays processed per march tile (memory bound)
+    accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
+
+    @property
+    def photon_grid(self):
+        """Photon thread ids (gid.x, gid.y) for the 4x4 local group."""
+        n = int(self.num_photons**0.5)
+        assert n * n == self.num_photons, "num_photons must be a square"
+        return n

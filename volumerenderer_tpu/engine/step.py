@@ -1,0 +1,70 @@
+"""Per-frame render step — the TPU-native drawFrame (src/main.cpp:620-934).
+
+The Vulkan frame graph (counter fill -> light-gen dispatch -> memory barrier
+-> color dispatch -> image barrier -> blit) collapses into ordinary XLA
+dataflow inside one jit: the color pass consumes the light-gen output, so the
+compiler serializes exactly where the barriers did, and fuses everywhere
+else.  Two-frames-in-flight pipelining falls out of JAX async dispatch; the
+accumulation buffer is donated so the update is in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..grid.dense import DenseGrid
+from ..render import color as color_mod
+from ..render import path as path_mod
+from ..render import photon
+from .params import Algorithm, RenderParams, StaticConfig
+from .state import RenderState, accumulate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps", "gather_samples"),
+    donate_argnames=("state",),
+)
+def render_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    gather_samples: int = 0,
+):
+    """Advance one frame: returns (new_state, lights).
+
+    Order matches drawFrame: frameCount++ first (src/main.cpp:712), clear on
+    frame 1 (:731-808), regenerate lights every frame (counter fill :722-728
+    — lights are NOT persisted across frames), render, accumulate.
+    """
+    frame_count = state.frame_count + 1
+    accum = jnp.where(frame_count == 1, 0.0, state.accum)
+
+    if algorithm is Algorithm.PATH:
+        lights = photon.empty_lights(config)
+        frame = path_mod.render_frame(grid, params, frame_count, config, max_steps)
+    else:
+        lights = photon.generate_lights(
+            grid, params, frame_count, config, max_steps=max_steps
+        )
+        frame = color_mod.render_frame(
+            grid,
+            params,
+            lights,
+            algorithm,
+            config,
+            max_steps,
+            gather_samples=gather_samples,
+        )
+
+    new_accum = accumulate(
+        accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
+    )
+    return RenderState(accum=new_accum, frame_count=frame_count), lights

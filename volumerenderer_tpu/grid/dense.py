@@ -1,0 +1,159 @@
+"""Bricked dense density volume — the TPU-native replacement for NanoVDB.
+
+The reference traverses a pointer-free NanoVDB tree on the GPU
+(shaders/PNanoVDB_GLSL.h; grid/tree/root/upper/lower/leaf at
+PNanoVDB_GLSL.h:556-1317).  Pointer-chasing tree traversal is hostile to a
+vector machine, so on TPU we ingest the sparse tree *on the host* into a
+dense, bricked density volume resident in HBM:
+
+  * ``voxels``       — (nx, ny, nz) float32 covering the active bounding box
+                       inclusive, padded up to the brick size.  Voxel (i,j,k)
+                       in index space lives at ``voxels[i-bx, j-by, k-bz]``
+                       with (bx,by,bz) = bbox_min.
+  * ``brick_occ``    — (nx/B, ny/B, nz/B) bool: any voxel in the brick > 0.
+                       B = 8 matches the NanoVDB leaf granularity
+                       (PNanoVDB_GLSL.h:1312-1317) and drives early-out.
+  * ``brick_max``    — per-brick max density, for adaptive/majorant schemes.
+  * affine map       — (3,3) matrix + translation, same semantics as the
+                       NanoVDB grid map (PNanoVDB_GLSL.h:2423-2493).
+
+Out-of-bbox lookups return 0.0, matching the background value of the
+reference's FloatGrid (bunny_cloud is a fog volume with background 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import transforms
+
+BRICK = 8
+
+
+@struct.dataclass
+class DenseGrid:
+    """Pytree holding the volume; safe to close over or pass through jit."""
+
+    voxels: jax.Array  # (nx, ny, nz) f32, padded to multiples of BRICK
+    bbox_min: jax.Array  # (3,) i32 — inclusive, index space
+    bbox_max: jax.Array  # (3,) i32 — inclusive, index space
+    map_mat: jax.Array  # (3,3) f32 index->world
+    map_inv: jax.Array  # (3,3) f32 world->index
+    map_vec: jax.Array  # (3,) f32 translation
+    brick_occ: jax.Array  # (nbx, nby, nbz) bool
+    brick_max: jax.Array  # (nbx, nby, nbz) f32
+
+    # ---- transforms (parity with pnanovdb_grid_{world_to_indexf,...}) ----
+
+    def world_to_index(self, p):
+        return transforms.world_to_index(self.map_inv, self.map_vec, p)
+
+    def index_to_world(self, p):
+        return transforms.index_to_world(self.map_mat, self.map_vec, p)
+
+    def world_to_index_dir(self, d):
+        return transforms.world_to_index_dir(self.map_inv, d)
+
+    # ---- bbox corners as floats, reference convention boxMax = max+1 ----
+    # (e.g. point_compute_color.comp:53-54)
+
+    @property
+    def box_min_f(self):
+        return self.bbox_min.astype(jnp.float32)
+
+    @property
+    def box_max_f(self):
+        return (self.bbox_max + 1).astype(jnp.float32)
+
+    # ---- sampling ----
+
+    def sample_ijk(self, ijk):
+        """Nearest-voxel fetch at integer coords ijk (..., 3) int32.
+
+        Matches ``pnanovdb_readaccessor_get_value_address`` + read_float with
+        the shaders' explicit in-bbox guard: out-of-bbox returns 0.
+        """
+        rel = ijk - self.bbox_min
+        shape = jnp.asarray(self.voxels.shape, jnp.int32)
+        inb = jnp.all((rel >= 0) & (rel < shape), axis=-1)
+        relc = jnp.clip(rel, 0, shape - 1)
+        lin = (relc[..., 0] * shape[1] + relc[..., 1]) * shape[2] + relc[..., 2]
+        vals = jnp.take(self.voxels.reshape(-1), lin, mode="clip")
+        return jnp.where(inb, vals, 0.0)
+
+    def sample_nearest(self, pos):
+        """Fetch at floor(pos) for float index-space positions (..., 3)."""
+        return self.sample_ijk(jnp.floor(pos).astype(jnp.int32))
+
+    def sample_trilinear(self, pos):
+        """Trilinear interpolation at float index-space positions (..., 3).
+
+        Not used by the parity path (the reference samples nearest voxel);
+        provided as the higher-quality option.
+        """
+        p = pos - 0.5  # voxel centers at integer + 0.5 convention
+        p0 = jnp.floor(p)
+        f = p - p0
+        i0 = p0.astype(jnp.int32)
+        acc = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (
+                        (f[..., 0] if dx else 1.0 - f[..., 0])
+                        * (f[..., 1] if dy else 1.0 - f[..., 1])
+                        * (f[..., 2] if dz else 1.0 - f[..., 2])
+                    )
+                    acc = acc + w * self.sample_ijk(
+                        i0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                    )
+        return acc
+
+
+def _pad_to_brick(a: np.ndarray) -> np.ndarray:
+    pads = [(0, (-s) % BRICK) for s in a.shape]
+    if any(p[1] for p in pads):
+        a = np.pad(a, pads)
+    return a
+
+
+def from_dense(
+    values: np.ndarray,
+    bbox_min=(0, 0, 0),
+    voxel_size: float = 1.0,
+    translation=(0.0, 0.0, 0.0),
+    map_mat: np.ndarray | None = None,
+) -> DenseGrid:
+    """Build a DenseGrid from a dense numpy array of densities.
+
+    ``values[i, j, k]`` is the density at index coord ``bbox_min + (i,j,k)``.
+    The affine map defaults to uniform ``voxel_size`` scaling plus
+    ``translation`` (the common VDB linear transform).
+    """
+    values = np.ascontiguousarray(values, np.float32)
+    if values.ndim != 3:
+        raise ValueError(f"expected 3-D density array, got shape {values.shape}")
+    bbox_min = np.asarray(bbox_min, np.int32)
+    bbox_max = bbox_min + np.asarray(values.shape, np.int32) - 1
+    padded = _pad_to_brick(values)
+    nb = tuple(s // BRICK for s in padded.shape)
+    bricks = padded.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
+    brick_max = bricks.max(axis=(1, 3, 5))
+    if map_mat is None:
+        map_mat = np.eye(3, dtype=np.float32) * np.float32(voxel_size)
+    map_mat = np.asarray(map_mat, np.float32)
+    return DenseGrid(
+        voxels=jnp.asarray(padded),
+        bbox_min=jnp.asarray(bbox_min),
+        bbox_max=jnp.asarray(bbox_max),
+        map_mat=jnp.asarray(map_mat),
+        map_inv=jnp.asarray(np.linalg.inv(map_mat).astype(np.float32)),
+        map_vec=jnp.asarray(np.asarray(translation, np.float32)),
+        brick_occ=jnp.asarray(brick_max > 0.0),
+        brick_max=jnp.asarray(brick_max.astype(np.float32)),
+    )

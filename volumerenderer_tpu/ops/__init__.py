@@ -1,0 +1,1 @@
+from . import camera, gather, intersect, lights, march, rng

@@ -1,0 +1,112 @@
+"""Many-light radiance gather — the hot op of the four gather algorithms.
+
+The reference's per-pixel ``for i in lightCount`` loop
+(point_compute_color.comp:9-15 etc.) becomes one batched (samples x lights)
+contraction.  Three interchangeable implementations:
+
+  * ``xla``    — light-chunked lax.scan; bounded intermediates; runs anywhere
+                 (the test/CPU reference path).
+  * ``mxu``    — Pallas TPU kernel (ops/pallas/gather_kernel.py): the squared
+                 distance matrix comes off the MXU as a K=8 matmul
+                 d^2 = |p|^2 + |l|^2 - 2 p.l, the 1/(4 pi d^2) epilogue and
+                 light-axis reduction stay in VMEM.  ~3x fewer VPU ops/pair
+                 than the difference form; distances are computed in
+                 volume-centered coordinates to bound the cancellation error
+                 of the matmul form.
+  * ``auto``   — mxu on TPU, xla elsewhere.
+
+All variants compute scalar (white-light) radiance sums:
+  point:   sum_l I_l / (4 pi |p - l|^2)        with |.|^2 < 1e-4 -> 0
+  sphere:  sum_l I_l / (4 pi (|p - c_l| - r)^2) same guard, center-hit -> 0
+(common_functions.h:186-201).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .lights import FOUR_PI, GUARD
+
+
+def _xla_chunk_point(samples, l_pos, l_int):
+    d2 = jnp.sum((samples[:, None, :] - l_pos[None, :, :]) ** 2, axis=-1)
+    c = l_int[None, :] / (FOUR_PI * d2)
+    return jnp.sum(jnp.where(d2 < GUARD, 0.0, c), axis=-1)
+
+
+def _xla_chunk_sphere(samples, l_pos, l_int, radius):
+    diff = samples[:, None, :] - l_pos[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    d2 = (dist - radius) ** 2
+    c = l_int[None, :] / (FOUR_PI * d2)
+    return jnp.sum(
+        jnp.where((d2 < GUARD) | (dist == 0.0), 0.0, c), axis=-1
+    )
+
+
+def gather_xla(
+    samples, l_pos, l_int, l_valid, *, sphere: bool, radius=0.0,
+    light_chunk: int = 512,
+):
+    """Chunked reference implementation. samples (N,3) -> (N,) radiance."""
+    L = l_pos.shape[0]
+    l_int = jnp.where(l_valid, l_int, 0.0)
+    # Park invalid lights far away so their (zero-intensity) terms cannot
+    # trip the d^2 guard at a real sample position.
+    l_pos = jnp.where(l_valid[:, None], l_pos, 1e15)
+    if L <= light_chunk:
+        fn = _xla_chunk_sphere if sphere else _xla_chunk_point
+        args = (samples, l_pos, l_int) + ((radius,) if sphere else ())
+        return fn(*args)
+    pad = (-L) % light_chunk
+    l_pos = jnp.concatenate([l_pos, jnp.full((pad, 3), 1e15, l_pos.dtype)])
+    l_int = jnp.concatenate([l_int, jnp.zeros((pad,), l_int.dtype)])
+    n_chunks = (L + pad) // light_chunk
+    lp = l_pos.reshape(n_chunks, light_chunk, 3)
+    li = l_int.reshape(n_chunks, light_chunk)
+
+    def body(acc, chunk):
+        cp, ci = chunk
+        if sphere:
+            return acc + _xla_chunk_sphere(samples, cp, ci, radius), None
+        return acc + _xla_chunk_point(samples, cp, ci), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(samples.shape[0]), (lp, li))
+    return acc
+
+
+def gather(
+    samples,
+    l_pos,
+    l_int,
+    l_valid,
+    *,
+    sphere: bool,
+    radius=0.0,
+    impl: str = "auto",
+    center=None,
+):
+    """Dispatch to the fastest available implementation.
+
+    ``center``: optional (3,) coordinate-frame shift for the MXU path
+    (typically the volume center); invariant for the result.
+    """
+    if impl == "auto":
+        impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return gather_xla(
+            samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius
+        )
+    from .pallas.gather_kernel import gather_mxu
+
+    return gather_mxu(
+        samples,
+        l_pos,
+        l_int,
+        l_valid,
+        sphere=sphere,
+        radius=radius,
+        center=center,
+        interpret=impl == "mxu_interpret",
+    )

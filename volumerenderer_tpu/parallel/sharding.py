@@ -1,0 +1,208 @@
+"""Multi-chip rendering via jax.sharding — the scaling layer the single-GPU
+reference never had (SURVEY.md §2.3, §5.8).
+
+Two shardings, composable on a 2-D mesh ('rows', 'lights'):
+
+  * **Pixel-row data parallelism** ('rows'): the accumulation image is
+    sharded by rows; each device renders its horizontal band of the shared
+    pinhole projection (ops.camera.camera_rays row slicing is exact).
+    Embarrassingly parallel — zero collectives in steady state; the only
+    cross-device traffic is the (tiny) replicated light array, which every
+    device regenerates deterministically instead of receiving (16-photon
+    walk << one broadcast).
+  * **Light-axis sharding** ('lights'): the many-light gather is this
+    renderer's long-context analogue (O(lights) per sample).  Each device
+    gathers radiance from its shard of the light array and the partial sums
+    are combined with one ``psum`` over ICI — flash-attention-style blockwise
+    accumulation across chips.
+
+The Vulkan reference's barriers/atomics have no equivalent here: XLA
+dataflow orders the light-gen -> gather handoff, and the photon append is
+already deterministic (render.photon).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.params import Algorithm, RenderParams, StaticConfig
+from ..engine.state import RenderState, accumulate
+from ..grid.dense import DenseGrid
+from ..render import color as color_mod
+from ..render import path as path_mod
+from ..render import photon
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None, lights_axis: int = 1) -> Mesh:
+    """1-D 'rows' mesh by default; set ``lights_axis`` > 1 for a 2-D
+    ('rows', 'lights') mesh."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % lights_axis:
+        raise ValueError(f"{n} devices not divisible by lights_axis={lights_axis}")
+    arr = np.array(devices).reshape(n // lights_axis, lights_axis)
+    return Mesh(arr, ("rows", "lights"))
+
+
+def _device_render(
+    accum_local,
+    frame_count,
+    grid,
+    params,
+    *,
+    algorithm,
+    config,
+    local_rows,
+    max_steps,
+    gather_samples,
+):
+    """Per-device body (inside shard_map): render this device's row band.
+
+    The FULL config goes through untouched — render_frame's projection math
+    must see the global image height; num_rows selects the band.
+    """
+    row0 = jax.lax.axis_index("rows") * local_rows
+
+    if algorithm is Algorithm.PATH:
+        frame = path_mod.render_frame(
+            grid, params, frame_count, config, max_steps,
+            row_start=row0, num_rows=local_rows,
+        )
+    else:
+        # Deterministic photon walk: every device computes the identical
+        # light array (cheaper than broadcasting; no collective needed).
+        lights = photon.generate_lights(
+            grid, params, frame_count, config, max_steps=max_steps
+        )
+        frame = color_mod.render_frame(
+            grid, params, lights, algorithm, config, max_steps,
+            gather_samples=gather_samples,
+            row_start=row0, num_rows=local_rows,
+        )
+
+    accum_local = jnp.where(frame_count == 1, 0.0, accum_local)
+    return accumulate(
+        accum_local, frame, frame_count,
+        quantize_u8=config.accum_dtype == "uint8",
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "algorithm", "config", "max_steps", "gather_samples", "mesh",
+    ),
+    donate_argnames=("state",),
+)
+def sharded_render_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    gather_samples: int = 0,
+) -> RenderState:
+    """One multi-chip frame: accum sharded by rows, grid/params replicated."""
+    n_rows_shards = mesh.shape["rows"]
+    if config.height % n_rows_shards:
+        raise ValueError(
+            f"height {config.height} not divisible by mesh rows {n_rows_shards}"
+        )
+    local_rows = config.height // n_rows_shards
+    frame_count = state.frame_count + 1
+
+    body = functools.partial(
+        _device_render,
+        algorithm=algorithm,
+        config=config,
+        local_rows=local_rows,
+        max_steps=max_steps,
+        gather_samples=gather_samples,
+    )
+    new_accum = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("rows", None), P(), P(), P()),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )(state.accum, frame_count, grid, params)
+    return RenderState(accum=new_accum, frame_count=frame_count)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps", "gather_samples", "mesh"),
+)
+def light_sharded_radiance(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    gather_samples: int = 0,
+) -> jax.Array:
+    """Radiance field with the LIGHT axis sharded over mesh axis 'lights'.
+
+    Each device gathers its light shard's contribution to every pixel of its
+    row band; one psum over 'lights' combines the partial sums.  Returns the
+    un-accumulated frame (rows sharded, lights reduced) — the context-
+    parallelism analogue for many-light scaling (SURVEY.md §5.7).
+    """
+    n_rows = mesh.shape["rows"]
+    n_ls = mesh.shape["lights"]
+    local_rows = config.height // n_rows
+    frame_count = state.frame_count + 1
+
+    def body(grid, params, frame_count):
+        row0 = jax.lax.axis_index("rows") * local_rows
+        li = jax.lax.axis_index("lights")
+        lights = photon.generate_lights(
+            grid, params, frame_count, config, max_steps=max_steps
+        )
+        L = config.light_capacity
+        shard = L // n_ls
+        slot = jnp.arange(L)
+        mine = (slot >= li * shard) & (slot < (li + 1) * shard)
+        my_lights = lights._replace(valid=lights.valid & mine)
+        # Un-normalized, un-clipped radiance sums for my shard of lights;
+        # exact: clip(psum(partials)/count) == the single-device result.
+        frame = color_mod.render_frame(
+            grid, params, my_lights, algorithm, config, max_steps,
+            gather_samples=gather_samples,
+            row_start=row0, num_rows=local_rows, normalize=False,
+        )
+        total = jax.lax.psum(frame, "lights")
+        denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+        return jnp.clip(total / denom, 0.0, 1.0)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )(grid, params, frame_count)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated on every device of the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_rows(mesh: Mesh, array):
+    """Shard a (H, ...) array across the 'rows' mesh axis."""
+    return jax.device_put(array, NamedSharding(mesh, P("rows")))
