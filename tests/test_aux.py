@@ -1,0 +1,95 @@
+"""Aux subsystems: checkpoint/resume, debug views, viewer wiring, profiling."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import jax.numpy as jnp
+
+from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
+from volumerenderer_tpu.grid import procedural
+from volumerenderer_tpu.io import checkpoint
+from volumerenderer_tpu.render import debug_views, photon
+from volumerenderer_tpu.utils.profiling import FrameStats
+from volumerenderer_tpu import viewer
+
+
+def small_renderer(**kw):
+    g = procedural.fog_sphere(n=24, center_world=(0.0, 0.0, 10.0),
+                              world_extent=20.0)
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -15.0]),
+        light_source_world_pos=jnp.float32([0.0, 0.0, 10.0]),
+        scattering_probability=jnp.float32(0.4),
+        ray_max_distance=jnp.float32(60.0),
+        max_lights=jnp.asarray(64, jnp.int32),
+    )
+    config = StaticConfig(width=16, height=12, light_capacity=64,
+                          max_events_per_photon=8, ray_tile=64,
+                          max_points_per_segment=32, max_path_segments=8)
+    return Renderer(g, config, params, **kw)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    r1 = small_renderer(algorithm=Algorithm.POINT)
+    r1.step(3)
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save(r1, p)
+    r1.step(2)
+    want = r1.image()
+
+    r2 = small_renderer(algorithm=Algorithm.RAY)  # different starting algo
+    checkpoint.load(r2, p)
+    assert int(r2.state.frame_count) == 3
+    assert r2.algorithm is Algorithm.POINT
+    r2.step(2)
+    np.testing.assert_array_equal(r2.image(), want)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    r1 = small_renderer()
+    r1.step()
+    p = str(tmp_path / "c.npz")
+    checkpoint.save(r1, p)
+    r2 = small_renderer()
+    r2.resize(8, 8)
+    import pytest
+
+    with pytest.raises(ValueError):
+        checkpoint.load(r2, p)
+
+
+def test_debug_views():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step()
+    img_p = np.asarray(debug_views.view_point_lights(
+        r.params, r.lights, r.config, radius=1.0))
+    img_r = np.asarray(debug_views.view_ray_lights(
+        r.params, r.lights, r.config, width=1.0))
+    assert img_p.shape == (12, 16) and set(np.unique(img_p)) <= {0.0, 1.0}
+    assert img_r.shape == (12, 16)
+    assert img_p.sum() > 0  # lights inside the view frustum show up
+
+
+def test_render_offline_and_viewer_wiring(tmp_path):
+    r = small_renderer(algorithm=Algorithm.POINT)
+    seen = []
+    out = viewer.render_offline(
+        r, 2, str(tmp_path / "o.png"), callback=lambda i, im: seen.append(i))
+    assert out.shape == (12, 16, 3) and seen == [1, 2]
+    v = viewer.InteractiveViewer(r)
+    v.tick()  # renders one frame into the Agg canvas
+    assert int(r.state.frame_count) == 3
+    # Slider edit does not reset; refresh button does.
+    v.sliders["absorption_coefficient"].set_val(0.3)
+    assert int(r.state.frame_count) == 3
+    v.btn.eventson and v.renderer.refresh()
+    assert int(r.state.frame_count) == 0
+
+
+def test_frame_stats():
+    fs = FrameStats()
+    fs.tick(); fs.tick(); fs.tick()
+    assert fs.fps > 0
+    assert fs.mrays_per_sec(100, 100) > 0

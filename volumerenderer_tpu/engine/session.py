@@ -26,7 +26,7 @@ from ..grid.dense import DenseGrid
 from ..render.color import required_march_steps
 from .params import Algorithm, RenderParams, StaticConfig
 from .state import RenderState
-from .step import render_step
+from .step import build_view_step, render_step, render_step_cached
 
 
 class Renderer:
@@ -47,6 +47,13 @@ class Renderer:
         )
         self.state = RenderState.create(self.config.height, self.config.width)
         self.lights = None
+        # Baked per-view march (render.color.ViewCache): valid while the
+        # fields in _view_key are unchanged.  The reference recomputes the
+        # identical march every frame; we memoize it (use_view_cache=False
+        # restores the recompute-every-frame behavior).
+        self.use_view_cache = True
+        self._view = None
+        self._view_key = None
 
     # ---- UI semantics ----
 
@@ -80,17 +87,57 @@ class Renderer:
             self.config.max_march_steps,
         )
 
-    def step(self, n: int = 1) -> RenderState:
-        for _ in range(n):
-            self.state, self.lights = render_step(
+    def _current_view(self, max_steps: int):
+        """The baked march for the current camera/volume/march params,
+        rebuilt when any dependency changes (camera edits invalidate; light
+        edits don't — matching which UBO fields the march reads)."""
+        key = (
+            tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
+            float(self.params.fov),
+            float(self.params.ray_max_distance),
+            float(self.params.ray_marching_step_size),
+            float(self.params.absorption_coefficient),
+            self.config.width,
+            self.config.height,
+            max_steps,
+            self.gather_samples,
+            id(self.grid.voxels),
+        )
+        if key != self._view_key:
+            self._view = build_view_step(
                 self.grid,
                 self.params,
-                self.state,
-                algorithm=self.algorithm,
                 config=self.config,
-                max_steps=self._max_steps,
+                max_steps=max_steps,
                 gather_samples=self.gather_samples,
             )
+            self._view_key = key
+        return self._view
+
+    def step(self, n: int = 1) -> RenderState:
+        max_steps = self._max_steps
+        cached = self.use_view_cache and self.algorithm is not Algorithm.PATH
+        for _ in range(n):
+            if cached:
+                self.state, self.lights = render_step_cached(
+                    self.grid,
+                    self.params,
+                    self.state,
+                    self._current_view(max_steps),
+                    algorithm=self.algorithm,
+                    config=self.config,
+                    max_steps=max_steps,
+                )
+            else:
+                self.state, self.lights = render_step(
+                    self.grid,
+                    self.params,
+                    self.state,
+                    algorithm=self.algorithm,
+                    config=self.config,
+                    max_steps=max_steps,
+                    gather_samples=self.gather_samples,
+                )
         return self.state
 
     # ---- presentation ----

@@ -68,3 +68,54 @@ def render_step(
         accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
     )
     return RenderState(accum=new_accum, frame_count=frame_count), lights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "gather_samples"),
+)
+def build_view_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    gather_samples: int = 0,
+):
+    """Bake the per-view march (render.color.build_view) once per camera/
+    volume/step change; reused by every subsequent cached frame."""
+    return color_mod.build_view(
+        grid, params, config, max_steps, gather_samples
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps"),
+    donate_argnames=("state",),
+)
+def render_step_cached(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    view,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+):
+    """Steady-state frame for the gather algorithms: photon-walk light gen +
+    shade of the baked view + accumulation.  No volume fetches on the pixel
+    path — the march lives in ``view`` (see render.color.ViewCache)."""
+    frame_count = state.frame_count + 1
+    accum = jnp.where(frame_count == 1, 0.0, state.accum)
+    lights = photon.generate_lights(
+        grid, params, frame_count, config, max_steps=max_steps
+    )
+    frame = color_mod.shade_view(
+        grid, view, params, lights, algorithm, config
+    )
+    new_accum = accumulate(
+        accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
+    )
+    return RenderState(accum=new_accum, frame_count=frame_count), lights

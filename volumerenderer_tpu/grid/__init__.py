@@ -1,2 +1,3 @@
-from . import dense, procedural, transforms
+from . import dense, ingest, procedural, transforms
 from .dense import BRICK, DenseGrid, from_dense
+from .ingest import from_nanovdb_blob, from_nvdb, load, save_npz, save_nvdb

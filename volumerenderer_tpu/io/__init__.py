@@ -1,1 +1,1 @@
-from . import ppm
+from . import checkpoint, ppm

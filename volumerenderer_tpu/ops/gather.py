@@ -110,3 +110,77 @@ def gather(
         center=center,
         interpret=impl == "mxu_interpret",
     )
+
+
+def gather_planes(
+    px,
+    py,
+    pz,
+    weight,
+    l_pos,
+    l_int,
+    l_valid,
+    *,
+    sphere: bool,
+    radius=0.0,
+    impl: str = "auto",
+    center=None,
+):
+    """Gather over SoA world-coordinate planes px/py/pz (each (R, C)).
+
+    ``weight`` (R, C) marks which samples matter; whole blocks of zero
+    weight are skipped by the TPU kernels.  Requires the valid light slots
+    to form one contiguous range (true for photon lights, compacted segment
+    expansions, and light-axis shards).  Returns (R, C) radiance sums.
+    """
+    from .pallas import gather_vpu as vpu_mod
+
+    R, C = px.shape
+    N = R * C
+    interpret = impl.endswith("_interpret")
+    base = impl.replace("_interpret", "")
+    if base == "auto":
+        base = "vpu" if jax.default_backend() == "tpu" else "xla"
+    L = l_pos.shape[0]
+    if base == "vpu" and L > vpu_mod.SMEM_LIGHT_LIMIT:
+        base = "mxu"
+
+    if base == "xla":
+        samples = jnp.stack(
+            [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
+        )
+        return gather_xla(
+            samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius
+        ).reshape(R, C)
+    if base == "mxu":
+        samples = jnp.stack(
+            [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
+        )
+        from .pallas.gather_kernel import gather_mxu
+
+        return gather_mxu(
+            samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius,
+            center=center, interpret=interpret,
+        ).reshape(R, C)
+
+    # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
+    assert N % 128 == 0, (R, C)
+    M = N // 128
+    pad_m = (-M) % vpu_mod.TILE_M
+    shape = lambda a: jnp.pad(a.reshape(M, 128), ((0, pad_m), (0, 0)))
+    pxm, pym, pzm = shape(px), shape(py), shape(pz)
+    wm = shape(weight)
+    n_blocks = (M + pad_m) // vpu_mod.TILE_M
+    block_active = (
+        jnp.any(
+            wm.reshape(n_blocks, vpu_mod.TILE_M * 128) != 0.0, axis=1
+        )
+    ).astype(jnp.int32)
+    valid_i = l_valid.astype(jnp.int32)
+    count = jnp.sum(valid_i)
+    start = jnp.argmax(valid_i)  # first valid slot (0 if none; count==0 then)
+    out = vpu_mod.gather_vpu(
+        pxm, pym, pzm, block_active, l_pos, l_int, start, count,
+        sphere=sphere, radius=radius, interpret=interpret,
+    )
+    return out[:M].reshape(R, C)

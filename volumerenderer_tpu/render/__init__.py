@@ -1,2 +1,3 @@
-from . import color, density, path, photon
+from . import color, debug_views, density, path, photon
+from .color import ViewCache, build_view, render_frame, shade_view
 from .photon import LightArray

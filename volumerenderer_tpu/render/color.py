@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..engine.params import Algorithm, RenderParams, StaticConfig
 from ..grid.dense import DenseGrid
@@ -79,18 +80,160 @@ def _expanded_lights(lights: LightArray, params, algorithm, config):
     return pos, inten, valid
 
 
-def _gather(sample_pos, l_pos, l_int, l_valid, params, algorithm, config, center):
-    sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
-    return gather_ops.gather(
-        sample_pos,
-        l_pos,
-        l_int,
-        l_valid,
-        sphere=sphere,
-        radius=params.beam_radius,
-        impl=config.gather_impl,
-        center=center,
+@struct.dataclass
+class ViewCache:
+    """Baked march for a fixed (camera, volume, step/absorption) view.
+
+    While the camera and volume are static — the steady state of progressive
+    accumulation — the reference re-runs an IDENTICAL per-pixel march every
+    frame (only the lights change between frames).  On TPU the march's
+    density fetches are gather-bound, so we memoize its entire output once:
+    the top-C gather samples per ray as (step index, weight) pairs.  Each
+    subsequent frame is pure MXU/VPU light-gather work with zero volume
+    fetches.  Semantics are unchanged: rebuilding the cache reproduces the
+    march bit-for-bit (engine.session tracks the dependency key).
+    """
+
+    o_idx: jax.Array  # (Np, 3) index-space ray origins (padded count)
+    d_idx: jax.Array  # (Np, 3) unit directions
+    tmin: jax.Array  # (Np,) first-sample t (entry-nudged)
+    k_idx: jax.Array  # (Np, C) int32 step indices of kept samples
+    weight: jax.Array  # (Np, C) gather weights T*val*dt
+    n_rays: int = struct.field(pytree_node=False)  # un-padded ray count
+    rows: int = struct.field(pytree_node=False)  # image rows covered
+
+
+def build_view(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    gather_samples: int = 0,
+    row_start=0,
+    num_rows: int | None = None,
+) -> ViewCache:
+    """Run the transmittance march for every pixel and bake the results."""
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    o_w, d_w = camera.camera_rays(
+        W, H, params.fov, params.camera_pos, row_start=row_start, num_rows=rows
     )
+    o_i = grid.world_to_index(o_w.reshape(-1, 3))
+    d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
+    d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
+
+    n_rays = rows * W
+    tile = min(config.ray_tile, n_rays)
+    pad = (-n_rays) % tile
+    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+    # Pad with unit +z rays; their results are sliced off by consumers.
+    d_i = jnp.concatenate(
+        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+    n_tiles = (n_rays + pad) // tile
+    compact = bool(gather_samples) and gather_samples < max_steps
+    C = gather_samples if compact else max_steps
+
+    def march_tile(inputs):
+        o, d = inputs
+        m = march_ops.march(
+            grid,
+            o,
+            d,
+            ray_max_distance=params.ray_max_distance,
+            step_size=params.ray_marching_step_size,
+            absorption=params.absorption_coefficient,
+            max_steps=max_steps,
+        )
+        if compact:
+            w, idx = jax.lax.top_k(m.weight, C)
+        else:
+            w = m.weight
+            idx = jnp.broadcast_to(
+                jnp.arange(max_steps, dtype=jnp.int32), w.shape
+            )
+        return w, idx.astype(jnp.int32), m.tmin
+
+    w, k, tmin = jax.lax.map(
+        march_tile,
+        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
+    )
+    Np = n_rays + pad
+    w = w.reshape(Np, C)
+    k = k.reshape(Np, C)
+    tmin = tmin.reshape(Np)
+    # The shade kernels want Np * C divisible by 128; pad rays with zero
+    # weight (skipped blocks) to the next multiple of 128.
+    pad2 = (-Np) % 128
+    if pad2:
+        o_i = jnp.pad(o_i, ((0, pad2), (0, 0)))
+        d_i = jnp.concatenate(
+            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad2, 3))],
+            axis=0,
+        )
+        w = jnp.pad(w, ((0, pad2), (0, 0)))
+        k = jnp.pad(k, ((0, pad2), (0, 0)))
+        tmin = jnp.pad(tmin, (0, pad2))
+    return ViewCache(
+        o_idx=o_i,
+        d_idx=d_i,
+        tmin=tmin,
+        k_idx=k,
+        weight=w,
+        n_rays=n_rays,
+        rows=rows,
+    )
+
+
+def shade_view(
+    grid: DenseGrid,
+    view: ViewCache,
+    params: RenderParams,
+    lights: LightArray,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    normalize: bool = True,
+) -> jax.Array:
+    """Shade a baked view with this frame's lights. Returns (rows, W) scalar
+    radiance (white light).
+
+    frameColor = clamp(finalColor / lightCount)
+    (point_compute_color.comp:97); lightCount == 0 is divide-by-zero-
+    undefined in GLSL, we define it as 0.  ``normalize=False`` returns raw
+    radiance sums (used by light-axis sharding, which psums partials across
+    chips before normalizing).
+    """
+    W = config.width
+    l_pos, l_int, l_valid = _expanded_lights(lights, params, algorithm, config)
+    # Volume-centered frame for the MXU distance matmul (see gather_kernel).
+    center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
+    step = params.ray_marching_step_size
+    sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
+
+    # SoA sample coordinates (Np, C): index-space positions from the cached
+    # step indices, then the affine index->world map — all elementwise, no
+    # transposes; the gather kernels stream these planes block by block.
+    t = view.tmin[:, None] + view.k_idx.astype(jnp.float32) * step
+    ix = view.o_idx[:, 0:1] + view.d_idx[:, 0:1] * t
+    iy = view.o_idx[:, 1:2] + view.d_idx[:, 1:2] * t
+    iz = view.o_idx[:, 2:3] + view.d_idx[:, 2:3] * t
+    m = grid.map_mat
+    v = grid.map_vec
+    wx = m[0, 0] * ix + m[0, 1] * iy + m[0, 2] * iz + v[0]
+    wy = m[1, 0] * ix + m[1, 1] * iy + m[1, 2] * iz + v[1]
+    wz = m[2, 0] * ix + m[2, 1] * iy + m[2, 2] * iz + v[2]
+
+    light_in = gather_ops.gather_planes(
+        wx, wy, wz, view.weight, l_pos, l_int, l_valid,
+        sphere=sphere, radius=params.beam_radius,
+        impl=config.gather_impl, center=center,
+    )
+    colors = jnp.sum(view.weight * light_in, axis=-1)[: view.n_rays]
+
+    if not normalize:
+        return colors.reshape(view.rows, W)
+    denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+    return jnp.clip(colors / denom, 0.0, 1.0).reshape(view.rows, W)
 
 
 def render_frame(
@@ -105,72 +248,19 @@ def render_frame(
     num_rows: int | None = None,
     normalize: bool = True,
 ) -> jax.Array:
-    """One frame of the given gather algorithm. Returns (num_rows, W) scalar
-    radiance in [0, 1] (white light; broadcast to RGB by the accumulator).
+    """One frame of the given gather algorithm (march + shade, uncached).
 
-    ``gather_samples``: C for top-k compaction; 0 gathers at every march
-    sample (the bit-straightforward reference path, used by tests).
-    ``row_start``/``num_rows`` render a horizontal band of the full-image
-    projection — the unit of multi-chip pixel sharding (parallel/sharding.py).
+    Returns (num_rows, W) scalar radiance in [0, 1] (white light; broadcast
+    to RGB by the accumulator).  ``gather_samples``: C for top-k compaction;
+    0 gathers at every march sample (the bit-straightforward reference path,
+    used by tests).  ``row_start``/``num_rows`` render a horizontal band of
+    the full-image projection — the unit of multi-chip pixel sharding
+    (parallel/sharding.py).  Interactive sessions reuse the march across
+    frames instead via build_view/shade_view.
     """
-    H, W = config.height, config.width
-    rows = H if num_rows is None else num_rows
-    o_w, d_w = camera.camera_rays(
-        W, H, params.fov, params.camera_pos, row_start=row_start, num_rows=rows
+    view = build_view(
+        grid, params, config, max_steps, gather_samples, row_start, num_rows
     )
-    o_i = grid.world_to_index(o_w.reshape(-1, 3))
-    d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
-    d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
-
-    l_pos, l_int, l_valid = _expanded_lights(lights, params, algorithm, config)
-    # Volume-centered frame for the MXU distance matmul (see gather_kernel).
-    center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
-
-    n_rays = rows * W
-    tile = min(config.ray_tile, n_rays)
-    pad = (-n_rays) % tile
-    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
-    # Pad with unit +z rays; their results are sliced off below.
-    d_i = jnp.concatenate(
-        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    return shade_view(
+        grid, view, params, lights, algorithm, config, normalize=normalize
     )
-    n_tiles = (n_rays + pad) // tile
-
-    def render_tile(inputs):
-        o, d = inputs
-        m = march_ops.march(
-            grid,
-            o,
-            d,
-            ray_max_distance=params.ray_max_distance,
-            step_size=params.ray_marching_step_size,
-            absorption=params.absorption_coefficient,
-            max_steps=max_steps,
-        )
-        if gather_samples and gather_samples < max_steps:
-            w, idx = jax.lax.top_k(m.weight, gather_samples)
-            t = jnp.take_along_axis(m.t, idx, axis=-1)
-        else:
-            w, t = m.weight, m.t
-        pos_idx = o[:, None, :] + d[:, None, :] * t[..., None]
-        pos_world = grid.index_to_world(pos_idx)
-        flat = pos_world.reshape(-1, 3)
-        light_in = _gather(
-            flat, l_pos, l_int, l_valid, params, algorithm, config, center
-        )
-        light_in = light_in.reshape(w.shape)
-        return jnp.sum(w * light_in, axis=-1)
-
-    colors = jax.lax.map(
-        render_tile,
-        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
-    ).reshape(-1)[:n_rays]
-
-    # frameColor = clamp(finalColor / lightCount) (point_compute_color.comp:97).
-    # lightCount == 0 is divide-by-zero-undefined in GLSL; we define it as 0.
-    # normalize=False returns the raw radiance sums (used by light-axis
-    # sharding, which psums partials across chips before normalizing).
-    if not normalize:
-        return colors.reshape(rows, W)
-    denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
-    return jnp.clip(colors / denom, 0.0, 1.0).reshape(rows, W)
