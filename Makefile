@@ -1,0 +1,27 @@
+# Build system for volumerenderer_tpu (the reference's CMake equivalent:
+# CMakeLists.txt + shaders/CMakeLists.txt — here the "shaders" are Pallas
+# kernels compiled by XLA at runtime, so the only ahead-of-time artifact is
+# the native ingestion library).
+
+CXX ?= g++
+CXXFLAGS ?= -O2 -fPIC -shared -std=c++17
+NATIVE := volumerenderer_tpu/native
+
+.PHONY: all native test bench clean
+
+all: native
+
+native: $(NATIVE)/libvdbio.so
+
+$(NATIVE)/libvdbio.so: $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/lz4_blosc.h
+	$(CXX) $(CXXFLAGS) $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp -o $@ -lz
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+clean:
+	rm -f $(NATIVE)/libvdbio.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

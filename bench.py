@@ -21,26 +21,31 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    import numpy as np
+
     from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
     from volumerenderer_tpu.grid import procedural
 
     width, height = 1920, 1080
     grid = procedural.cloud(n=96)
+    # Default scene parameters (src/main.cpp:546-559) with the light placed
+    # inside the cloud body so the photon walk produces a realistic virtual-
+    # light population every frame.
     params = RenderParams.default().replace(
         camera_pos=jnp.float32([0.0, 20.0, -75.0]),
-        light_source_world_pos=jnp.float32([-20.0, 15.0, -15.0]),
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
     )
-    config = StaticConfig(width=width, height=height)
+    config = StaticConfig(width=width, height=height, gather_samples=48)
     r = Renderer(grid, config, params, algorithm=Algorithm.POINT)
 
-    # Warmup (compile + 2 steady-state frames).
-    r.step(3)
-    jax.block_until_ready(r.state.accum)
+    # Warmup: builds the view cache and compiles the 1- and 8-frame steps.
+    r.step(9)
+    np.asarray(r.state.accum)
 
-    frames = 8
+    frames = 32
     t0 = time.perf_counter()
     r.step(frames)
-    jax.block_until_ready(r.state.accum)
+    np.asarray(r.state.accum)  # materialize: forces full execution
     dt = time.perf_counter() - t0
 
     mrays = width * height * frames / dt / 1e6

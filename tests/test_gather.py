@@ -75,3 +75,42 @@ def test_compact_valid():
     )
     assert int(cvalid.sum()) == 4 and int(dropped) == nv - 4
     np.testing.assert_allclose(np.asarray(cpos), pos[valid][:4])
+
+
+def test_gather_planes_vpu_interpret_matches_xla():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import gather_planes
+
+    rs = np.random.RandomState(22)
+    R, C = 64, 32  # R*C = 2048, divisible by 128
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    lpos = jnp.asarray((rs.randn(40, 3) * 8 + 15).astype(np.float32))
+    lint = jnp.asarray((rs.rand(40) * 20).astype(np.float32))
+    valid = jnp.arange(40) < 25
+    for sphere in (False, True):
+        want = gather_planes(px, py, pz, w, lpos, lint, valid,
+                             sphere=sphere, radius=0.3, impl="xla")
+        got = gather_planes(px, py, pz, w, lpos, lint, valid,
+                            sphere=sphere, radius=0.3,
+                            impl="vpu_interpret")
+        # Kernel skips zero-weight blocks; compare only where weights exist.
+        mask = np.asarray(w) != 0
+        np.testing.assert_allclose(
+            np.asarray(got)[mask], np.asarray(want)[mask],
+            rtol=2e-4, atol=1e-6)
+
+
+def test_gather_planes_zero_lights():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import gather_planes
+
+    px = jnp.ones((16, 8)); py = px; pz = px
+    w = jnp.ones((16, 8))
+    lpos = jnp.zeros((4, 3)); lint = jnp.zeros((4,))
+    valid = jnp.zeros((4,), bool)
+    out = gather_planes(px, py, pz, w, lpos, lint, valid,
+                        sphere=False, impl="vpu_interpret")
+    assert float(jnp.abs(out).max()) == 0.0

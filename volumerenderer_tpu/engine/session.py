@@ -26,7 +26,12 @@ from ..grid.dense import DenseGrid
 from ..render.color import required_march_steps
 from .params import Algorithm, RenderParams, StaticConfig
 from .state import RenderState
-from .step import build_view_step, render_step, render_step_cached
+from .step import (
+    build_view_step,
+    render_step,
+    render_step_cached,
+    render_steps_cached,
+)
 
 
 class Renderer:
@@ -114,30 +119,42 @@ class Renderer:
             self._view_key = key
         return self._view
 
+    # Cached frames are batched into single dispatches of this size to
+    # amortize launch round-trips (frames-in-flight analogue).
+    frame_batch: int = 8
+
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
         cached = self.use_view_cache and self.algorithm is not Algorithm.PATH
+        if cached:
+            view = self._current_view(max_steps)
+            remaining = n
+            while remaining > 0:
+                k = self.frame_batch if remaining >= self.frame_batch else 1
+                if k == 1:
+                    self.state, self.lights = render_step_cached(
+                        self.grid, self.params, self.state, view,
+                        algorithm=self.algorithm, config=self.config,
+                        max_steps=max_steps,
+                    )
+                else:
+                    self.state, self.lights = render_steps_cached(
+                        self.grid, self.params, self.state, view,
+                        algorithm=self.algorithm, config=self.config,
+                        max_steps=max_steps, n_frames=k,
+                    )
+                remaining -= k
+            return self.state
         for _ in range(n):
-            if cached:
-                self.state, self.lights = render_step_cached(
-                    self.grid,
-                    self.params,
-                    self.state,
-                    self._current_view(max_steps),
-                    algorithm=self.algorithm,
-                    config=self.config,
-                    max_steps=max_steps,
-                )
-            else:
-                self.state, self.lights = render_step(
-                    self.grid,
-                    self.params,
-                    self.state,
-                    algorithm=self.algorithm,
-                    config=self.config,
-                    max_steps=max_steps,
-                    gather_samples=self.gather_samples,
-                )
+            self.state, self.lights = render_step(
+                self.grid,
+                self.params,
+                self.state,
+                algorithm=self.algorithm,
+                config=self.config,
+                max_steps=max_steps,
+                gather_samples=self.gather_samples,
+            )
         return self.state
 
     # ---- presentation ----

@@ -119,3 +119,54 @@ def render_step_cached(
         accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
     )
     return RenderState(accum=new_accum, frame_count=frame_count), lights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps", "n_frames"),
+    donate_argnames=("state",),
+)
+def render_steps_cached(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    view,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    n_frames: int,
+):
+    """``n_frames`` cached frames in ONE dispatch (lax.fori_loop) — the
+    multi-frames-in-flight analogue of the reference's
+    MAX_FRAMES_IN_FLIGHT=2 pipelining (src/main.cpp:44): amortizes the
+    per-launch round-trip (significant on remote/tunneled TPUs).
+
+    The photon walks of all frames run FIRST, vmapped into one batch of
+    n_frames x 16 photons — each frame's walk is independent (pure function
+    of its frame counter), and batching turns 16-wide sequential walks into
+    one wide parallel walk.
+    """
+    fcs = state.frame_count + 1 + jnp.arange(n_frames, dtype=jnp.int32)
+    lights_batch = jax.vmap(
+        lambda fc: photon.generate_lights(
+            grid, params, fc, config, max_steps=max_steps
+        )
+    )(fcs)
+
+    def body(i, carry):
+        accum, _fc, _lights = carry
+        fc = fcs[i]
+        accum = jnp.where(fc == 1, 0.0, accum)
+        lights = jax.tree.map(lambda x: x[i], lights_batch)
+        frame = color_mod.shade_view(
+            grid, view, params, lights, algorithm, config
+        )
+        accum = accumulate(
+            accum, frame, fc, quantize_u8=config.accum_dtype == "uint8"
+        )
+        return accum, fc, lights
+
+    init = (state.accum, state.frame_count, photon.empty_lights(config))
+    accum, fc, lights = jax.lax.fori_loop(0, n_frames, body, init)
+    return RenderState(accum=accum, frame_count=fc), lights

@@ -20,6 +20,8 @@ def load(path: str, grid_index: int = 0) -> DenseGrid:
     lower = path.lower()
     if lower.endswith(".nvdb"):
         return from_nvdb(path, grid_index)
+    if lower.endswith(".vdb"):
+        return from_vdb(path)
     if lower.endswith(".npy"):
         return from_dense(np.load(path))
     if lower.endswith(".npz"):
@@ -31,8 +33,19 @@ def load(path: str, grid_index: int = 0) -> DenseGrid:
             translation=z["map_vec"],
         )
     raise ValueError(
-        f"unsupported volume format: {path} (.nvdb/.npy/.npz; convert .vdb "
-        "files with nanovdb_convert or openvdb's nanovdb tools)"
+        f"unsupported volume format: {path} (.vdb/.nvdb/.npy/.npz)"
+    )
+
+
+def from_vdb(path: str, grid_name: str | None = None) -> DenseGrid:
+    """Read an OpenVDB .vdb file (native reader subset: modern file
+    versions, FloatGrid 5-4-3, none/zip/blosc codecs)."""
+    from . import vdbio_native
+
+    dense, bbox_min, mat, vec, _name = vdbio_native.read_vdb(path, grid_name)
+    return from_dense(
+        dense, bbox_min=bbox_min, map_mat=mat.astype(np.float32),
+        translation=vec,
     )
 
 

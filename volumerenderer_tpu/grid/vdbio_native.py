@@ -17,14 +17,17 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libvdbio.so"))
-_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "vdbio.cpp"))
+_SRCS = [
+    os.path.abspath(os.path.join(_NATIVE_DIR, f))
+    for f in ("vdbio.cpp", "vdb_read.cpp")
+]
 _lock = threading.Lock()
 _lib = None
 
 
 def _build() -> None:
     cmd = [
-        "g++", "-O2", "-fPIC", "-shared", "-std=c++17", _SRC,
+        "g++", "-O2", "-fPIC", "-shared", "-std=c++17", *_SRCS,
         "-o", _SO_PATH, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -35,9 +38,9 @@ def lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) or os.path.getmtime(
-            _SO_PATH
-        ) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO_PATH) or any(
+            os.path.getmtime(_SO_PATH) < os.path.getmtime(s) for s in _SRCS
+        ):
             _build()
         L = ctypes.CDLL(_SO_PATH)
         c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -60,6 +63,10 @@ def lib() -> ctypes.CDLL:
         L.vdbio_blob_from_dense.argtypes = [
             ctypes.c_void_p, c_i32p, c_dp, c_dp, ctypes.c_char_p, c_u8pp,
             c_i64p,
+        ]
+        L.vdbio_read_vdb.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, c_f32pp, c_i64p, c_i32p, c_dp,
+            c_dp, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
         L.vdbio_free.argtypes = [ctypes.c_void_p]
         _lib = L
@@ -98,6 +105,29 @@ def read_nvdb(path: str, grid_index: int = 0):
     )
     if rc:
         raise IOError(f"read_nvdb({path}): {err.value.decode()}")
+    dense, bmin, m, v = _unpack_dense(data_p, n, bbox, mat, vec)
+    return dense, bmin, m, v, name.value.decode()
+
+
+def read_vdb(path: str, grid_name: str | None = None):
+    """Read an OpenVDB .vdb file (native/vdb_read.cpp subset) ->
+    (dense (nx,ny,nz) f32, bbox_min, mat, vec, name).  ``grid_name``: pick a
+    specific grid; None takes the first FloatGrid (matching the reference's
+    search, src/main.cpp:1173-1181)."""
+    L = lib()
+    data_p = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    bbox = (ctypes.c_int32 * 6)()
+    mat = (ctypes.c_double * 9)()
+    vec = (ctypes.c_double * 3)()
+    name = ctypes.create_string_buffer(256)
+    err = ctypes.create_string_buffer(512)
+    rc = L.vdbio_read_vdb(
+        path.encode(), (grid_name or "").encode(), ctypes.byref(data_p),
+        ctypes.byref(n), bbox, mat, vec, name, 256, err, 512,
+    )
+    if rc:
+        raise IOError(f"read_vdb({path}): {err.value.decode()}")
     dense, bmin, m, v = _unpack_dense(data_p, n, bbox, mat, vec)
     return dense, bmin, m, v, name.value.decode()
 

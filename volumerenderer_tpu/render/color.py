@@ -94,10 +94,9 @@ class ViewCache:
     march bit-for-bit (engine.session tracks the dependency key).
     """
 
-    o_idx: jax.Array  # (Np, 3) index-space ray origins (padded count)
-    d_idx: jax.Array  # (Np, 3) unit directions
-    tmin: jax.Array  # (Np,) first-sample t (entry-nudged)
-    k_idx: jax.Array  # (Np, C) int32 step indices of kept samples
+    wx: jax.Array  # (Np, C) world-space sample x coords
+    wy: jax.Array  # (Np, C) world-space sample y coords
+    wz: jax.Array  # (Np, C) world-space sample z coords
     weight: jax.Array  # (Np, C) gather weights T*val*dt
     n_rays: int = struct.field(pytree_node=False)  # un-padded ray count
     rows: int = struct.field(pytree_node=False)  # image rows covered
@@ -147,41 +146,38 @@ def build_view(
         )
         if compact:
             w, idx = jax.lax.top_k(m.weight, C)
-        else:
-            w = m.weight
-            idx = jnp.broadcast_to(
-                jnp.arange(max_steps, dtype=jnp.int32), w.shape
+            t = m.tmin[:, None] + idx.astype(jnp.float32) * (
+                params.ray_marching_step_size
             )
-        return w, idx.astype(jnp.int32), m.tmin
+        else:
+            w, t = m.weight, m.t
+        # Bake world-space sample coordinates so per-frame shading touches
+        # only (coords, weights) — no per-frame index math at all.
+        ix = o[:, 0:1] + d[:, 0:1] * t
+        iy = o[:, 1:2] + d[:, 1:2] * t
+        iz = o[:, 2:3] + d[:, 2:3] * t
+        mm = grid.map_mat
+        mv = grid.map_vec
+        wx = mm[0, 0] * ix + mm[0, 1] * iy + mm[0, 2] * iz + mv[0]
+        wy = mm[1, 0] * ix + mm[1, 1] * iy + mm[1, 2] * iz + mv[1]
+        wz = mm[2, 0] * ix + mm[2, 1] * iy + mm[2, 2] * iz + mv[2]
+        return wx, wy, wz, w
 
-    w, k, tmin = jax.lax.map(
+    wx, wy, wz, w = jax.lax.map(
         march_tile,
         (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
     )
     Np = n_rays + pad
-    w = w.reshape(Np, C)
-    k = k.reshape(Np, C)
-    tmin = tmin.reshape(Np)
+    reshape = lambda a: a.reshape(Np, C)
+    wx, wy, wz, w = map(reshape, (wx, wy, wz, w))
     # The shade kernels want Np * C divisible by 128; pad rays with zero
     # weight (skipped blocks) to the next multiple of 128.
     pad2 = (-Np) % 128
     if pad2:
-        o_i = jnp.pad(o_i, ((0, pad2), (0, 0)))
-        d_i = jnp.concatenate(
-            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad2, 3))],
-            axis=0,
-        )
-        w = jnp.pad(w, ((0, pad2), (0, 0)))
-        k = jnp.pad(k, ((0, pad2), (0, 0)))
-        tmin = jnp.pad(tmin, (0, pad2))
+        pad_rows = lambda a: jnp.pad(a, ((0, pad2), (0, 0)))
+        wx, wy, wz, w = map(pad_rows, (wx, wy, wz, w))
     return ViewCache(
-        o_idx=o_i,
-        d_idx=d_i,
-        tmin=tmin,
-        k_idx=k,
-        weight=w,
-        n_rays=n_rays,
-        rows=rows,
+        wx=wx, wy=wy, wz=wz, weight=w, n_rays=n_rays, rows=rows
     )
 
 
@@ -207,24 +203,10 @@ def shade_view(
     l_pos, l_int, l_valid = _expanded_lights(lights, params, algorithm, config)
     # Volume-centered frame for the MXU distance matmul (see gather_kernel).
     center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
-    step = params.ray_marching_step_size
     sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
 
-    # SoA sample coordinates (Np, C): index-space positions from the cached
-    # step indices, then the affine index->world map — all elementwise, no
-    # transposes; the gather kernels stream these planes block by block.
-    t = view.tmin[:, None] + view.k_idx.astype(jnp.float32) * step
-    ix = view.o_idx[:, 0:1] + view.d_idx[:, 0:1] * t
-    iy = view.o_idx[:, 1:2] + view.d_idx[:, 1:2] * t
-    iz = view.o_idx[:, 2:3] + view.d_idx[:, 2:3] * t
-    m = grid.map_mat
-    v = grid.map_vec
-    wx = m[0, 0] * ix + m[0, 1] * iy + m[0, 2] * iz + v[0]
-    wy = m[1, 0] * ix + m[1, 1] * iy + m[1, 2] * iz + v[1]
-    wz = m[2, 0] * ix + m[2, 1] * iy + m[2, 2] * iz + v[2]
-
     light_in = gather_ops.gather_planes(
-        wx, wy, wz, view.weight, l_pos, l_int, l_valid,
+        view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
         sphere=sphere, radius=params.beam_radius,
         impl=config.gather_impl, center=center,
     )
