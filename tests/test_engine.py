@@ -126,3 +126,29 @@ def test_u8_presentation():
     r.step()
     u8 = r.image_u8()
     assert u8.dtype == np.uint8 and u8.shape == (12, 16, 3)
+
+
+def test_view_cache_matches_uncached():
+    # The ViewCache is a pure memoization: cached and uncached sessions must
+    # produce identical images for the gather algorithms.
+    for algo in (Algorithm.POINT, Algorithm.BEAM):
+        r_cached = small_renderer(algorithm=algo)
+        r_plain = small_renderer(algorithm=algo)
+        r_plain.use_view_cache = False
+        r_cached.step(3)
+        r_plain.step(3)
+        np.testing.assert_allclose(
+            r_cached.image(), r_plain.image(), rtol=1e-5, atol=1e-7)
+
+
+def test_view_cache_invalidation_on_camera_edit():
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(2)
+    v1 = r._view
+    r.set(camera_pos=[0.0, 1.0, -15.0])  # camera edit -> new view next step
+    r.step()
+    assert r._view is not v1
+    r.set(scattering_probability=0.5)  # light param -> same view
+    v2 = r._view
+    r.step()
+    assert r._view is v2

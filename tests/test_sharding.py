@@ -80,3 +80,18 @@ def test_light_sharded_matches_single_device():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         sharding.make_mesh(jax.devices()[:6], lights_axis=4)
+
+
+@pytest.mark.parametrize("lights_axis", [1, 4])
+def test_mesh_renderer_cached_matches_single_device(lights_axis):
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    want, steps = _single_device_frames(g, params, config, Algorithm.POINT,
+                                        n_frames=2)
+    mesh = sharding.make_mesh(jax.devices()[:8], lights_axis=lights_axis)
+    mr = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
+    mr.step(2)
+    np.testing.assert_allclose(
+        np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
+    assert int(mr.state.frame_count) == 2

@@ -1,2 +1,2 @@
 from . import sharding
-from .sharding import make_mesh, sharded_render_step
+from .sharding import MeshRenderer, make_mesh, sharded_render_step

@@ -206,3 +206,160 @@ def replicate(mesh: Mesh, tree):
 def shard_rows(mesh: Mesh, array):
     """Shard a (H, ...) array across the 'rows' mesh axis."""
     return jax.device_put(array, NamedSharding(mesh, P("rows")))
+
+
+# ---------------------------------------------------------------------------
+# Cached multi-chip rendering: per-device ViewCache + sharded shading.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "gather_samples", "mesh"),
+)
+def build_view_sharded(
+    grid: DenseGrid,
+    params: RenderParams,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    gather_samples: int = 0,
+):
+    """Bake each device's row band of the march (render.color.build_view) —
+    the multi-chip version of the view cache.  Returns a dict of arrays
+    sharded by 'rows' (plane coords + weights)."""
+    n_rows_shards = mesh.shape["rows"]
+    if config.height % n_rows_shards:
+        raise ValueError("height must divide mesh rows")
+    local_rows = config.height // n_rows_shards
+
+    def body(grid, params):
+        row0 = jax.lax.axis_index("rows") * local_rows
+        v = color_mod.build_view(
+            grid, params, config, max_steps, gather_samples,
+            row_start=row0, num_rows=local_rows,
+        )
+        return dict(wx=v.wx, wy=v.wy, wz=v.wz, weight=v.weight)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=dict(
+            wx=P("rows"), wy=P("rows"), wz=P("rows"), weight=P("rows")
+        ),
+        check_vma=False,
+    )(grid, params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps", "mesh"),
+    donate_argnames=("state",),
+)
+def sharded_shade_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    view_arrays,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+) -> RenderState:
+    """One cached multi-chip frame: every device regenerates the (tiny)
+    photon walk, shades ITS row band from ITS baked view shard, and — when
+    the mesh has a 'lights' axis — gathers only its light shard, combining
+    partial radiance with one psum over ICI."""
+    n_rows_shards = mesh.shape["rows"]
+    n_light_shards = mesh.shape.get("lights", 1)
+    local_rows = config.height // n_rows_shards
+    frame_count = state.frame_count + 1
+
+    def body(accum_local, frame_count, va, grid, params):
+        lights = photon.generate_lights(
+            grid, params, frame_count, config, max_steps=max_steps
+        )
+        view = color_mod.ViewCache(
+            wx=va["wx"], wy=va["wy"], wz=va["wz"], weight=va["weight"],
+            n_rays=local_rows * config.width, rows=local_rows,
+        )
+        if n_light_shards > 1:
+            li = jax.lax.axis_index("lights")
+            L = config.light_capacity
+            shard = L // n_light_shards
+            slot = jnp.arange(L)
+            mine = (slot >= li * shard) & (slot < (li + 1) * shard)
+            my_lights = lights._replace(valid=lights.valid & mine)
+            raw = color_mod.shade_view(
+                grid, view, params, my_lights, algorithm, config,
+                normalize=False,
+            )
+            total = jax.lax.psum(raw, "lights")
+            denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+            frame = jnp.clip(total / denom, 0.0, 1.0)
+        else:
+            frame = color_mod.shade_view(
+                grid, view, params, lights, algorithm, config
+            )
+        accum_local = jnp.where(frame_count == 1, 0.0, accum_local)
+        return accumulate(
+            accum_local, frame, frame_count,
+            quantize_u8=config.accum_dtype == "uint8",
+        )
+
+    view_specs = dict(
+        wx=P("rows"), wy=P("rows"), wz=P("rows"), weight=P("rows")
+    )
+    new_accum = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("rows", None), P(), view_specs, P(), P()),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )(state.accum, frame_count, view_arrays, grid, params)
+    return RenderState(accum=new_accum, frame_count=frame_count)
+
+
+class MeshRenderer:
+    """Multi-chip interactive session: the Renderer equivalent over a device
+    mesh — view baked per device once, then cached sharded frames."""
+
+    def __init__(self, grid, mesh: Mesh, config: StaticConfig,
+                 params: RenderParams, algorithm: Algorithm,
+                 gather_samples: int | None = None):
+        from ..render.color import required_march_steps
+
+        self.grid = replicate(mesh, grid)
+        self.mesh = mesh
+        self.config = config
+        self.params = params
+        self.algorithm = algorithm
+        self.gather_samples = (
+            config.gather_samples if gather_samples is None else gather_samples
+        )
+        self.max_steps = required_march_steps(
+            grid, float(params.ray_marching_step_size), config.max_march_steps
+        )
+        self.state = RenderState.create(config.height, config.width)
+        self.state = self.state.replace(
+            accum=shard_rows(mesh, self.state.accum)
+        )
+        self._view = None
+
+    def step(self, n: int = 1) -> RenderState:
+        if self._view is None:
+            self._view = build_view_sharded(
+                self.grid, self.params, config=self.config,
+                max_steps=self.max_steps, mesh=self.mesh,
+                gather_samples=self.gather_samples,
+            )
+        for _ in range(n):
+            self.state = sharded_shade_step(
+                self.grid, self.params, self.state, self._view,
+                algorithm=self.algorithm, config=self.config,
+                max_steps=self.max_steps, mesh=self.mesh,
+            )
+        return self.state
