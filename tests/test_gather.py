@@ -114,3 +114,46 @@ def test_gather_planes_zero_lights():
     out = gather_planes(px, py, pz, w, lpos, lint, valid,
                         sphere=False, impl="vpu_interpret")
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_analytic_segment_integral_matches_fine_discretization():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import segment_integral_xla
+
+    rs = np.random.RandomState(23)
+    samples = jnp.asarray((rs.randn(50, 3) * 5).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 5 + 10).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 5 + 10).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.asarray([True] * 5 + [False])
+
+    analytic = np.asarray(segment_integral_xla(
+        samples, pos_from, pos_to, inten, valid))
+
+    # Very fine discretization of the reference's sub-light sum.
+    pts, ints, vmask = L.expand_segments(
+        pos_from, pos_to, inten, valid, 0.002, 20000)
+    fine = np.asarray(L.gather_point_lights(samples, pts, ints, vmask))
+    np.testing.assert_allclose(analytic, fine, rtol=2e-3)
+
+
+def test_gather_segments_kernel_matches_xla():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(24)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.ones((R, C), jnp.float32)
+    pos_from = jnp.asarray((rs.randn(8, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(8, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(8) * 30).astype(np.float32))
+    valid = jnp.arange(8) < 6
+    want = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                           impl="xla")
+    got = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                          impl="vpu_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)

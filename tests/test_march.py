@@ -81,3 +81,29 @@ def test_march_miss_is_zero():
                     absorption=0.1, max_steps=16)
     assert not bool(m.hit[0])
     assert float(jnp.sum(m.weight)) == 0.0
+
+
+def test_trilinear_march_option():
+    import dataclasses
+    import jax.numpy as jnp
+    from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
+    from volumerenderer_tpu.grid import procedural
+
+    g = procedural.fog_sphere(n=24, center_world=(0.0, 0.0, 10.0),
+                              world_extent=20.0)
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -15.0]),
+        light_source_world_pos=jnp.float32([0.0, 0.0, 10.0]),
+        scattering_probability=jnp.float32(0.4),
+        ray_max_distance=jnp.float32(60.0))
+    base = StaticConfig(width=16, height=12, light_capacity=64,
+                        max_events_per_photon=8, ray_tile=64,
+                        max_points_per_segment=32)
+    r_near = Renderer(g, base, params, algorithm=Algorithm.POINT)
+    r_near.step()
+    r_tri = Renderer(g, dataclasses.replace(base, interpolation="trilinear"),
+                     params, algorithm=Algorithm.POINT)
+    r_tri.step()
+    a, b = r_near.image(), r_tri.image()
+    assert np.isfinite(b).all() and b.max() > 0
+    assert not np.allclose(a, b)  # smoother sampling changes the image

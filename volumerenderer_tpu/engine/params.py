@@ -100,6 +100,11 @@ class StaticConfig:
     gather_samples: int = 256  # top-k march samples kept per ray (0 = all)
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
+    interpolation: str = "nearest"  # "trilinear" = smoother (extension)
+    # Ray/VRL sub-light handling: "discrete" reproduces the reference's
+    # per-lightRayStepSize point sampling; "analytic" evaluates the closed-
+    # form line integral per segment (its h->0 limit) — 30-100x fewer terms.
+    segment_mode: str = "discrete"
     ray_tile: int = 16384  # rays processed per march tile (memory bound)
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
 

@@ -164,23 +164,77 @@ def gather_planes(
         ).reshape(R, C)
 
     # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
-    assert N % 128 == 0, (R, C)
-    M = N // 128
-    pad_m = (-M) % vpu_mod.TILE_M
-    shape = lambda a: jnp.pad(a.reshape(M, 128), ((0, pad_m), (0, 0)))
-    pxm, pym, pzm = shape(px), shape(py), shape(pz)
-    wm = shape(weight)
-    n_blocks = (M + pad_m) // vpu_mod.TILE_M
-    block_active = (
-        jnp.any(
-            wm.reshape(n_blocks, vpu_mod.TILE_M * 128) != 0.0, axis=1
-        )
-    ).astype(jnp.int32)
+    pxm, pym, pzm, block_active, M = _plane_blocks(px, py, pz, weight)
     valid_i = l_valid.astype(jnp.int32)
     count = jnp.sum(valid_i)
     start = jnp.argmax(valid_i)  # first valid slot (0 if none; count==0 then)
     out = vpu_mod.gather_vpu(
         pxm, pym, pzm, block_active, l_pos, l_int, start, count,
         sphere=sphere, radius=radius, interpret=interpret,
+    )
+    return out[:M].reshape(R, C)
+
+
+def _plane_blocks(px, py, pz, weight):
+    """Reshape (R, C) planes into TILE_M-padded (M, 128) blocks + skip flags."""
+    from .pallas import gather_vpu as vpu_mod
+
+    R, C = px.shape
+    N = R * C
+    assert N % 128 == 0, (R, C)
+    M = N // 128
+    pad_m = (-M) % vpu_mod.TILE_M
+    shape = lambda a: jnp.pad(a.reshape(M, 128), ((0, pad_m), (0, 0)))
+    pxm, pym, pzm, wm = shape(px), shape(py), shape(pz), shape(weight)
+    n_blocks = (M + pad_m) // vpu_mod.TILE_M
+    block_active = (
+        jnp.any(wm.reshape(n_blocks, vpu_mod.TILE_M * 128) != 0.0, axis=1)
+    ).astype(jnp.int32)
+    return pxm, pym, pzm, block_active, M
+
+
+def segment_integral_xla(samples, pos_from, pos_to, intensity, valid):
+    """Closed-form VRL line integral, XLA reference path.
+
+    Equals the h->0 limit of the reference's per-sub-light Riemann sum
+    (ray_compute_color.comp:11-24): I/(4 pi L) * int_0^L ds/d^2(s).
+    samples (N, 3) -> (N,) radiance.
+    """
+    seg = pos_to - pos_from
+    length = jnp.linalg.norm(seg, axis=-1)
+    safe = jnp.where(length > 0, length, 1.0)
+    u = seg / safe[:, None]
+    ii = jnp.where(valid & (length > 0), intensity / (FOUR_PI * safe), 0.0)
+    d = samples[:, None, :] - pos_from[None, :, :]  # (N, L, 3)
+    b = jnp.sum(d * u[None, :, :], axis=-1)
+    c = jnp.sum(d * d, axis=-1)
+    q = jnp.sqrt(jnp.maximum(c - b * b, GUARD))
+    integral = (jnp.arctan((length[None, :] - b) / q) + jnp.arctan(b / q)) / q
+    return jnp.sum(ii[None, :] * integral, axis=-1)
+
+
+def gather_segments(
+    px, py, pz, weight, pos_from, pos_to, intensity, valid,
+    *, impl: str = "auto",
+):
+    """Analytic VRL gather over SoA planes. Returns (R, C) radiance."""
+    from .pallas import gather_vpu as vpu_mod
+
+    R, C = px.shape
+    interpret = impl.endswith("_interpret")
+    base = impl.replace("_interpret", "")
+    if base in ("auto", "mxu", "vpu"):
+        base = "vpu" if (jax.default_backend() == "tpu" or interpret) else "xla"
+    if base == "xla":
+        samples = jnp.stack(
+            [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
+        )
+        return segment_integral_xla(
+            samples, pos_from, pos_to, intensity, valid
+        ).reshape(R, C)
+    pxm, pym, pzm, block_active, M = _plane_blocks(px, py, pz, weight)
+    out = vpu_mod.gather_segments_analytic(
+        pxm, pym, pzm, block_active, pos_from, pos_to, intensity, valid,
+        interpret=interpret,
     )
     return out[:M].reshape(R, C)

@@ -60,11 +60,15 @@ def march(
     step_size,
     absorption,
     max_steps: int,
+    interpolation: str = "nearest",
 ) -> MarchResult:
     """March rays given in *index space* (origins (N,3), unit dirs (N,3)).
 
     ``max_steps`` is the static trip-count bound; steps past a ray's tmax or
     transmittance cutoff are masked out, matching the reference's early exit.
+    ``interpolation``: "nearest" reproduces the reference's voxel fetch
+    (pnanovdb_readaccessor_get_value_address); "trilinear" is the smoother
+    extension (8-tap).
     """
     zero = jnp.zeros(origin_idx.shape[:-1], jnp.float32)
     hit, tmin, tmax = intersect.intersect_aabb(
@@ -81,7 +85,10 @@ def march(
     k = jnp.arange(max_steps, dtype=jnp.float32)
     t = tmin[..., None] + k * step_size  # (N, S)
     pos = origin_idx[..., None, :] + dir_idx[..., None, :] * t[..., None]
-    val = grid.sample_nearest(pos)  # 0 outside bbox -> no attenuation there
+    if interpolation == "trilinear":
+        val = grid.sample_trilinear(pos)
+    else:
+        val = grid.sample_nearest(pos)  # 0 outside bbox; no attenuation there
 
     atten = jnp.exp(-val * absorption * step_size)
     # Exclusive cumprod: T before sample k is the product of attenuations of

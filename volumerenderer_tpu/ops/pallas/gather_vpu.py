@@ -74,6 +74,78 @@ def _kernel(meta_ref, rad_ref, lights_ref, active_ref, px_ref, py_ref,
         )
 
 
+def _atan(x):
+    """Polynomial atan for the VPU (Mosaic has no atan primitive).
+
+    Range-reduced odd minimax polynomial on [0, 1]; |err| < 2e-5 rad —
+    far below the integral's discretization-limit interpretation.
+    """
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    z2 = z * z
+    p = z * (
+        0.9998660
+        + z2
+        * (-0.3302995 + z2 * (0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351)))
+    )
+    p = jnp.where(inv, jnp.float32(1.5707963267948966) - p, p)
+    return jnp.where(x < 0.0, -p, p)
+
+
+def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
+                    pz_ref, o_ref):
+    """Analytic VRL: closed-form line integral per (sample, segment).
+
+    The reference discretizes each RayLight segment every lightRayStepSize
+    into point lights of I/steps (ray_compute_color.comp:11-24) — a Riemann
+    sum of I/(4 pi L) * integral_0^L ds / d(s)^2 with
+    d(s)^2 = s^2 - 2 b s + c, b = (p-a).u, c = |p-a|^2:
+
+        integral = [atan((L-b)/q) + atan(b/q)] / q,  q = sqrt(c - b^2)
+
+    One evaluation per SEGMENT instead of per sub-light — typically 30-100x
+    fewer terms at default lightRayStepSize.  Approximation mode (not
+    bit-parity): it is the h->0 limit of the reference's sum.
+
+    lights_ref rows: [ax, ay, az, ux, uy, uz, L, I/(4 pi L)].
+    """
+    i = pl.program_id(0)
+
+    @pl.when(active_ref[i] == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(active_ref[i] != 0)
+    def _():
+        start = meta_ref[0]
+        count = meta_ref[1]
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+
+        def seg(k, acc):
+            ax = lights_ref[k, 0]
+            ay = lights_ref[k, 1]
+            az = lights_ref[k, 2]
+            ux = lights_ref[k, 3]
+            uy = lights_ref[k, 4]
+            uz = lights_ref[k, 5]
+            ll = lights_ref[k, 6]
+            ii = lights_ref[k, 7]
+            dx = px - ax
+            dy = py - ay
+            dz = pz - az
+            b = dx * ux + dy * uy + dz * uz
+            c = dx * dx + dy * dy + dz * dz
+            q2 = jnp.maximum(c - b * b, GUARD)
+            q = jnp.sqrt(q2)
+            integral = (_atan((ll - b) / q) + _atan(b / q)) / q
+            return acc + ii * integral
+
+        o_ref[:] = jax.lax.fori_loop(
+            start, start + count, seg, jnp.zeros_like(o_ref)
+        )
+
+
 def gather_vpu(
     px,
     py,
@@ -133,3 +205,66 @@ def gather_vpu(
         py,
         pz,
     )
+
+
+def gather_segments_analytic(
+    px,
+    py,
+    pz,
+    block_active,
+    pos_from,
+    pos_to,
+    intensity,
+    valid,
+    *,
+    interpret: bool = False,
+):
+    """Analytic VRL gather over raw segments (no expansion).
+
+    px/py/pz: (M, 128) world coords (padded to TILE_M blocks);
+    segments: (L,) arrays; valid must be a contiguous prefix/range.
+    Returns (M, 128) radiance sums equal to the h->0 limit of the
+    reference's per-sub-light sum.
+    """
+    from ..lights import FOUR_PI
+
+    M = px.shape[0]
+    assert M % TILE_M == 0, M
+    seg = pos_to - pos_from
+    length = jnp.linalg.norm(seg, axis=-1)
+    safe_len = jnp.where(length > 0, length, 1.0)
+    u = seg / safe_len[:, None]
+    ii = jnp.where(
+        valid & (length > 0),
+        intensity / (jnp.float32(FOUR_PI) * safe_len),
+        0.0,
+    )
+    lights = jnp.concatenate(
+        [pos_from, u, length[:, None], ii[:, None]], axis=1
+    )  # (L, 8)
+    valid_i = valid.astype(jnp.int32)
+    meta = jnp.stack([jnp.argmax(valid_i), jnp.sum(valid_i)])
+    grid = (M // TILE_M,)
+    spec = lambda: pl.BlockSpec(
+        (TILE_M, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _segment_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
+            spec(),
+            spec(),
+            spec(),
+        ],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=25 * M * 128 * max(pos_from.shape[0], 1),
+            bytes_accessed=4 * M * 128 * 4,
+            transcendentals=2 * M * 128 * pos_from.shape[0],
+        ),
+    )(meta, lights, block_active, px, py, pz)

@@ -143,6 +143,7 @@ def build_view(
             step_size=params.ray_marching_step_size,
             absorption=params.absorption_coefficient,
             max_steps=max_steps,
+            interpolation=config.interpolation,
         )
         if compact:
             w, idx = jax.lax.top_k(m.weight, C)
@@ -200,16 +201,26 @@ def shade_view(
     chips before normalizing).
     """
     W = config.width
-    l_pos, l_int, l_valid = _expanded_lights(lights, params, algorithm, config)
-    # Volume-centered frame for the MXU distance matmul (see gather_kernel).
-    center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
-    sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
-
-    light_in = gather_ops.gather_planes(
-        view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
-        sphere=sphere, radius=params.beam_radius,
-        impl=config.gather_impl, center=center,
-    )
+    if algorithm is Algorithm.RAY and config.segment_mode == "analytic":
+        # Closed-form VRL line integral per segment — no sub-light
+        # expansion (ops.gather.gather_segments).
+        light_in = gather_ops.gather_segments(
+            view.wx, view.wy, view.wz, view.weight,
+            lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
+            impl=config.gather_impl,
+        )
+    else:
+        l_pos, l_int, l_valid = _expanded_lights(
+            lights, params, algorithm, config
+        )
+        # Volume-centered frame for the MXU distance matmul (gather_kernel).
+        center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
+        sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
+        light_in = gather_ops.gather_planes(
+            view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
+            sphere=sphere, radius=params.beam_radius,
+            impl=config.gather_impl, center=center,
+        )
     colors = jnp.sum(view.weight * light_in, axis=-1)[: view.n_rays]
 
     if not normalize:

@@ -60,6 +60,7 @@ def generate_lights(
     frame_count,
     config: StaticConfig,
     max_steps: int | None = None,
+    debug_iters: bool = False,
 ) -> LightArray:
     """Run the photon walk for one frame. ``frame_count`` is the 1-based frame
     counter (the reference seeds with gid * frameCount, light_gen.comp:15).
@@ -119,10 +120,17 @@ def generate_lights(
         events=jnp.zeros((P, K, 7), jnp.float32),
     )
 
-    ks = jnp.arange(S, dtype=jnp.float32)
+    # Windowed scanning: each while-iteration examines a WINDOW of steps
+    # instead of a full worst-case segment, so cost tracks the steps
+    # actually walked (long-diagonal volumes: 10-30x less work).  A window
+    # with no scatter either continues the segment (attenuation applied,
+    # t0 advanced) or ends the walk; S still bounds a segment exactly
+    # (a straight segment cannot re-enter the convex bbox).
+    Wn = min(256, S)
+    ks = jnp.arange(Wn, dtype=jnp.float32)
 
     def segment(carry):
-        t = carry["t0"][:, None] + ks[None, :] * step  # (P, S)
+        t = carry["t0"][:, None] + ks[None, :] * step  # (P, Wn)
         pos = (
             carry["origin"][:, None, :]
             + carry["direction"][:, None, :] * t[:, :, None]
@@ -185,31 +193,57 @@ def generate_lights(
         ) & can_store[:, None]
         events = jnp.where(onehot[:, :, None], record[:, None, :], carry["events"])
 
-        # Photons with no scatter in this segment have finished their walk.
+        # No scatter in this window: the segment CONTINUES into the next
+        # window iff the walk was still live at the window's end (entered
+        # is monotone within a window) and the segment hasn't exceeded its
+        # exact bbox-crossing bound S.
+        seg_steps = carry["seg_steps"] + Wn
+        window_draws = occ_rank[:, -1]  # all occupied entered voxels rolled
+        cont = (
+            ~any_scatter
+            & entered[:, -1]
+            & (seg_steps < S)
+        )
+        win_att = cum_att[:, -1]
+
         new_carry = dict(
             seg_i=carry["seg_i"] + 1,
             origin=jnp.where(any_scatter[:, None], scat_pos, carry["origin"]),
             direction=jnp.where(any_scatter[:, None], new_dir, carry["direction"]),
-            # After a scatter: currentT=0 then += step before the next sample.
-            t0=jnp.where(any_scatter, step, carry["t0"]),
-            trans=jnp.where(any_scatter, new_trans, carry["trans"]),
-            intensity=jnp.where(any_scatter, new_int, carry["intensity"]),
+            # After a scatter: currentT=0 then += step before the next
+            # sample; otherwise advance to the next window.
+            t0=jnp.where(any_scatter, step, carry["t0"] + Wn * step),
+            trans=jnp.where(
+                any_scatter, new_trans,
+                jnp.where(cont, carry["trans"] * win_att, carry["trans"]),
+            ),
+            intensity=jnp.where(
+                any_scatter, new_int,
+                jnp.where(cont, carry["intensity"] * win_att, carry["intensity"]),
+            ),
             prev_pos=jnp.where(can_store[:, None], scat_world, carry["prev_pos"]),
             seed=carry["seed"],
             n_draws=carry["n_draws"]
-            + jnp.where(any_scatter, draws_used + 2, 0).astype(jnp.uint32),
+            + jnp.where(
+                any_scatter, draws_used + 2, jnp.where(cont, window_draws, 0)
+            ).astype(jnp.uint32),
             n_events=carry["n_events"] + can_store.astype(jnp.int32),
-            alive=carry["alive"] & any_scatter,
+            alive=carry["alive"] & (any_scatter | cont),
+            seg_steps=jnp.where(any_scatter, 0, seg_steps),
             events=events,
         )
         return new_carry
 
-    # Bounded while-loop over scatter segments; most walks finish after a
-    # handful of segments (each iteration only continues photons that
-    # scattered), so this typically runs ~5-20x shorter than the K+1 bound.
+    # Bounded while-loop over windows+segments; exits as soon as every
+    # photon has finished.  The cap covers K+1 scatter segments plus a
+    # total straight-marching budget of max_photon_steps.
     carry["seg_i"] = jnp.zeros((), jnp.int32)
+    carry["seg_steps"] = jnp.zeros((P,), jnp.int32)
+    max_iters = (K + 1) + max(1, config.max_photon_steps // Wn)
     carry = jax.lax.while_loop(
-        lambda c: jnp.any(c["alive"]) & (c["seg_i"] < K + 1), segment, carry
+        lambda c: jnp.any(c["alive"]) & (c["seg_i"] < max_iters),
+        segment,
+        carry,
     )
 
     # ---- global maxLights clamp, deterministic photon-major order ----
@@ -224,13 +258,16 @@ def generate_lights(
     out = jnp.zeros((L, 7), jnp.float32).at[dest].set(events, mode="drop")
     count = jnp.minimum(jnp.sum(valid_flat.astype(jnp.int32)), params.max_lights)
     slot_valid = jnp.arange(L) < count
-    return LightArray(
+    la = LightArray(
         pos_from=out[:, 0:3],
         pos_to=out[:, 3:6],
         intensity=out[:, 6],
         valid=slot_valid,
         count=count,
     )
+    if debug_iters:
+        return la, carry["seg_i"]
+    return la
 
 
 def empty_lights(config: StaticConfig) -> LightArray:
