@@ -157,3 +157,45 @@ def test_gather_segments_kernel_matches_xla():
                           impl="vpu_interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_beam_quadrature_matches_fine_discretization():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import segment_sphere_quadrature_xla
+
+    rs = np.random.RandomState(25)
+    samples = jnp.asarray((rs.randn(40, 3) * 5).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(5, 3) * 5 + 12).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(5, 3) * 5 + 12).astype(np.float32))
+    inten = jnp.asarray((rs.rand(5) * 30).astype(np.float32))
+    valid = jnp.asarray([True] * 5)
+    r = 0.3
+    quad = np.asarray(segment_sphere_quadrature_xla(
+        samples, pos_from, pos_to, inten, valid, r, nodes=256))
+    pts, ints, vmask = L.expand_segments(
+        pos_from, pos_to, inten, valid, 0.005, 8192)
+    fine = np.asarray(L.gather_sphere_lights(samples, pts, ints, vmask, r))
+    np.testing.assert_allclose(quad, fine, rtol=5e-3)
+
+
+def test_beam_quadrature_kernel_matches_xla():
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(26)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.ones((R, C), jnp.float32)
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    want = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                           impl="xla", sphere_radius=0.25, quad_nodes=8)
+    got = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                          impl="vpu_interpret", sphere_radius=0.25,
+                          quad_nodes=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)

@@ -101,10 +101,13 @@ class StaticConfig:
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)
-    # Ray/VRL sub-light handling: "discrete" reproduces the reference's
-    # per-lightRayStepSize point sampling; "analytic" evaluates the closed-
-    # form line integral per segment (its h->0 limit) — 30-100x fewer terms.
+    # Ray/VRL + Beam/VBL sub-light handling: "discrete" reproduces the
+    # reference's per-lightRayStepSize point sampling; "analytic" evaluates
+    # the segment integral directly (closed form for Ray; midpoint
+    # quadrature with beam_quadrature_nodes points for Beam) — 10-100x
+    # fewer terms.
     segment_mode: str = "discrete"
+    beam_quadrature_nodes: int = 16
     ray_tile: int = 16384  # rays processed per march tile (memory bound)
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
 

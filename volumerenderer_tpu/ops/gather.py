@@ -213,11 +213,42 @@ def segment_integral_xla(samples, pos_from, pos_to, intensity, valid):
     return jnp.sum(ii[None, :] * integral, axis=-1)
 
 
+def segment_sphere_quadrature_xla(
+    samples, pos_from, pos_to, intensity, valid, radius, nodes: int
+):
+    """Midpoint quadrature of the VBL sphere-light integrand, XLA reference
+    path (matches ops/pallas/gather_vpu._segment_sphere_kernel)."""
+    seg = pos_to - pos_from
+    length = jnp.linalg.norm(seg, axis=-1)
+    safe = jnp.where(length > 0, length, 1.0)
+    u = seg / safe[:, None]
+    ii = jnp.where(valid & (length > 0), intensity / (FOUR_PI * safe), 0.0)
+    d = samples[:, None, :] - pos_from[None, :, :]
+    b = jnp.sum(d * u[None, :, :], axis=-1)
+    c = jnp.sum(d * d, axis=-1)
+    s = (jnp.arange(nodes, dtype=jnp.float32) + 0.5) / nodes  # (J,)
+    sj = s[None, None, :] * length[None, :, None]  # (1, L, J)
+    d2 = jnp.maximum(
+        c[..., None] - 2.0 * b[..., None] * sj + sj * sj, 0.0
+    )
+    dist = jnp.sqrt(d2)
+    dd = dist - radius
+    d2e = dd * dd
+    bad = (d2e < GUARD) | (dist == 0.0)
+    f = jnp.where(bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD))
+    total = jnp.sum(f, axis=-1) * (length[None, :] / nodes)
+    return jnp.sum(ii[None, :] * total, axis=-1)
+
+
 def gather_segments(
     px, py, pz, weight, pos_from, pos_to, intensity, valid,
-    *, impl: str = "auto",
+    *, impl: str = "auto", sphere_radius=None, quad_nodes: int = 16,
 ):
-    """Analytic VRL gather over SoA planes. Returns (R, C) radiance."""
+    """Analytic (VRL) / quadrature (VBL) segment gather over SoA planes.
+
+    ``sphere_radius=None`` -> closed-form point-sub-light line integral;
+    otherwise the ``quad_nodes``-point sphere-light quadrature.
+    Returns (R, C) radiance."""
     from .pallas import gather_vpu as vpu_mod
 
     R, C = px.shape
@@ -229,12 +260,20 @@ def gather_segments(
         samples = jnp.stack(
             [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
         )
-        return segment_integral_xla(
-            samples, pos_from, pos_to, intensity, valid
-        ).reshape(R, C)
+        if sphere_radius is None:
+            out = segment_integral_xla(
+                samples, pos_from, pos_to, intensity, valid
+            )
+        else:
+            out = segment_sphere_quadrature_xla(
+                samples, pos_from, pos_to, intensity, valid, sphere_radius,
+                quad_nodes,
+            )
+        return out.reshape(R, C)
     pxm, pym, pzm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_analytic(
         pxm, pym, pzm, block_active, pos_from, pos_to, intensity, valid,
+        sphere_radius=sphere_radius, quad_nodes=quad_nodes,
         interpret=interpret,
     )
     return out[:M].reshape(R, C)

@@ -93,6 +93,61 @@ def _atan(x):
     return jnp.where(x < 0.0, -p, p)
 
 
+def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
+                           px_ref, py_ref, pz_ref, o_ref, *, nodes: int):
+    """Quadrature VBL: midpoint rule over each segment's sphere-light
+    integrand 1/(4 pi (d(s) - r)^2) with a FIXED node count, instead of the
+    reference's len/lightRayStepSize sub-lights (beam_compute_color.comp:
+    11-24 + getSphereLightContribution).  Both are quadratures of the same
+    integral; ``nodes`` trades accuracy for speed (default 16 ~ 8-30x fewer
+    terms).  d^2(s) = s^2 - 2 b s + c is evaluated per node from the
+    per-segment (b, c) — 2 ops — so each node costs ~7 VPU ops.
+
+    lights_ref rows: [ax, ay, az, ux, uy, uz, L, I/(4 pi L)].
+    """
+    i = pl.program_id(0)
+
+    @pl.when(active_ref[i] == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(active_ref[i] != 0)
+    def _():
+        start = meta_ref[0]
+        count = meta_ref[1]
+        radius = rad_ref[0]
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+
+        def seg(k, acc):
+            ax = lights_ref[k, 0]
+            ay = lights_ref[k, 1]
+            az = lights_ref[k, 2]
+            ux = lights_ref[k, 3]
+            uy = lights_ref[k, 4]
+            uz = lights_ref[k, 5]
+            ll = lights_ref[k, 6]
+            ii = lights_ref[k, 7]
+            dx = px - ax
+            dy = py - ay
+            dz = pz - az
+            b = dx * ux + dy * uy + dz * uz
+            c = dx * dx + dy * dy + dz * dz
+            total = jnp.zeros_like(acc)
+            for j in range(nodes):
+                s = (j + 0.5) / nodes * ll
+                d2 = jnp.maximum(c - 2.0 * b * s + s * s, 0.0)
+                d = jnp.sqrt(d2)
+                dd = d - radius
+                d2e = dd * dd
+                bad = (d2e < GUARD) | (d == 0.0)
+                total += jnp.where(bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD))
+            return acc + ii * (ll / nodes) * total
+
+        o_ref[:] = jax.lax.fori_loop(
+            start, start + count, seg, jnp.zeros_like(o_ref)
+        )
+
+
 def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
                     pz_ref, o_ref):
     """Analytic VRL: closed-form line integral per (sample, segment).
@@ -217,14 +272,18 @@ def gather_segments_analytic(
     intensity,
     valid,
     *,
+    sphere_radius: float | None = None,
+    quad_nodes: int = 16,
     interpret: bool = False,
 ):
-    """Analytic VRL gather over raw segments (no expansion).
+    """Analytic/quadrature segment gather over raw segments (no expansion).
 
     px/py/pz: (M, 128) world coords (padded to TILE_M blocks);
     segments: (L,) arrays; valid must be a contiguous prefix/range.
-    Returns (M, 128) radiance sums equal to the h->0 limit of the
-    reference's per-sub-light sum.
+    ``sphere_radius=None``: closed-form VRL (point sub-lights);
+    otherwise: ``quad_nodes``-point midpoint quadrature of the VBL
+    sphere-light integrand.  Returns (M, 128) radiance sums equal to the
+    h->0 limit of the reference's per-sub-light sum.
     """
     from ..lights import FOUR_PI
 
@@ -248,11 +307,34 @@ def gather_segments_analytic(
     spec = lambda: pl.BlockSpec(
         (TILE_M, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    L = pos_from.shape[0]
+    if sphere_radius is None:
+        return pl.pallas_call(
+            _segment_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
+                spec(),
+                spec(),
+                spec(),
+            ],
+            out_specs=spec(),
+            out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=25 * M * 128 * max(L, 1),
+                bytes_accessed=4 * M * 128 * 4,
+                transcendentals=2 * M * 128 * L,
+            ),
+        )(meta, lights, block_active, px, py, pz)
     return pl.pallas_call(
-        _segment_kernel,
+        functools.partial(_segment_sphere_kernel, nodes=quad_nodes),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # radius (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
             spec(),
@@ -263,8 +345,16 @@ def gather_segments_analytic(
         out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=25 * M * 128 * max(pos_from.shape[0], 1),
+            flops=(15 + 7 * quad_nodes) * M * 128 * max(L, 1),
             bytes_accessed=4 * M * 128 * 4,
-            transcendentals=2 * M * 128 * pos_from.shape[0],
+            transcendentals=quad_nodes * M * 128 * L,
         ),
-    )(meta, lights, block_active, px, py, pz)
+    )(
+        meta,
+        jnp.asarray(sphere_radius, jnp.float32).reshape(1),
+        lights,
+        block_active,
+        px,
+        py,
+        pz,
+    )

@@ -201,13 +201,21 @@ def shade_view(
     chips before normalizing).
     """
     W = config.width
-    if algorithm is Algorithm.RAY and config.segment_mode == "analytic":
-        # Closed-form VRL line integral per segment — no sub-light
-        # expansion (ops.gather.gather_segments).
+    if (
+        algorithm in (Algorithm.RAY, Algorithm.BEAM)
+        and config.segment_mode == "analytic"
+    ):
+        # Segment integral evaluated directly — no sub-light expansion
+        # (ops.gather.gather_segments): closed form for Ray, fixed-node
+        # quadrature for Beam's sphere lights.
         light_in = gather_ops.gather_segments(
             view.wx, view.wy, view.wz, view.weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             impl=config.gather_impl,
+            sphere_radius=(
+                params.beam_radius if algorithm is Algorithm.BEAM else None
+            ),
+            quad_nodes=config.beam_quadrature_nodes,
         )
     else:
         l_pos, l_int, l_valid = _expanded_lights(
