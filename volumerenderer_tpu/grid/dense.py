@@ -23,7 +23,6 @@ reference's FloatGrid (bunny_cloud is a fog volume with background 0).
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

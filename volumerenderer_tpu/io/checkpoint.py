@@ -10,7 +10,6 @@ function of frame_count).
 
 from __future__ import annotations
 
-import json
 import os
 
 import jax.numpy as jnp

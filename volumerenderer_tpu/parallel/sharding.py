@@ -23,7 +23,6 @@ already deterministic (render.photon).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Sequence
 

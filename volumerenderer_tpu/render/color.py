@@ -29,7 +29,6 @@ broadcast to RGB at the end (3x less HBM traffic than the reference's vec3).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine.params import RenderParams, StaticConfig
-from ..grid.dense import DenseGrid
+
 from ..ops import camera, intersect
 from .photon import LightArray
 
