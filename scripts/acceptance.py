@@ -1,0 +1,105 @@
+"""BASELINE.json acceptance runner.
+
+Renders every acceptance config on the current backend and writes a JSON
+report (throughput + image statistics).  The five configs mirror
+BASELINE.json:
+
+  1. 256x256 path-traced single frame (CPU_test workload class)
+  2. Point/VPL @720p, >=256-light capacity
+  3. Sphere/VSL @720p
+  4. Ray/VRL @1080p
+  5. Beam/VBL @1080p progressive with accumulation reset on parameter change
+
+Usage: PYTHONPATH=. python scripts/acceptance.py [--out acceptance_report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run() -> dict:
+    from volumerenderer_tpu import (
+        Algorithm, Renderer, RenderParams, StaticConfig,
+    )
+    from volumerenderer_tpu.grid import procedural
+
+    g = procedural.cloud(n=96)
+    params = RenderParams.default().replace(
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+    )
+    report = {"backend": jax.default_backend(), "configs": {}}
+
+    def measure(name, algo, w, h, frames=8, warmup=9, **cfg_kw):
+        config = StaticConfig(width=w, height=h, gather_samples=48, **cfg_kw)
+        r = Renderer(g, config, params, algorithm=algo)
+        r.step(warmup)
+        np.asarray(r.state.accum)
+        t0 = time.perf_counter()
+        r.step(frames)
+        img = np.asarray(r.state.accum)
+        dt = (time.perf_counter() - t0) / frames
+        report["configs"][name] = {
+            "algorithm": algo.name,
+            "resolution": f"{w}x{h}",
+            "ms_per_frame": round(dt * 1e3, 2),
+            "mrays_per_sec": round(w * h / dt / 1e6, 2),
+            "lights": int(r.lights.count) if r.lights is not None else 0,
+            "image_mean": float(img.mean()),
+            "image_max": float(img.max()),
+            "finite": bool(np.isfinite(img).all()),
+        }
+        return r
+
+    # 1. Path-traced single frame at the CPU_test scale.
+    cfg = StaticConfig(width=256, height=256)
+    r = Renderer(g, cfg, params, algorithm=Algorithm.PATH)
+    t0 = time.perf_counter()
+    r.step()
+    img = np.asarray(r.state.accum)
+    report["configs"]["path_256"] = {
+        "algorithm": "PATH",
+        "resolution": "256x256",
+        "s_per_frame_incl_compile": round(time.perf_counter() - t0, 2),
+        "image_mean": float(img.mean()),
+        "finite": bool(np.isfinite(img).all()),
+    }
+
+    # 2-4.
+    measure("point_720p", Algorithm.POINT, 1280, 720)
+    measure("sphere_720p", Algorithm.SPHERE, 1280, 720)
+    measure("ray_1080p_analytic", Algorithm.RAY, 1920, 1080,
+            segment_mode="analytic")
+
+    # 5. Beam @1080p progressive + accumulation reset on parameter change.
+    r = measure("beam_1080p_analytic", Algorithm.BEAM, 1920, 1080,
+                segment_mode="analytic")
+    fc_before = int(r.state.frame_count)
+    r.set(absorption_coefficient=0.06)  # slider: no reset
+    assert int(r.state.frame_count) == fc_before
+    r.refresh()  # Refresh: reset
+    r.step()
+    report["configs"]["beam_1080p_analytic"]["accumulation_reset_ok"] = (
+        int(r.state.frame_count) == 1
+    )
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="acceptance_report.json")
+    args = ap.parse_args()
+    rep = run()
+    with open(args.out, "w") as f:
+        json.dump(rep, f, indent=2)
+    print(json.dumps(rep, indent=2))

@@ -93,3 +93,30 @@ def test_frame_stats():
     fs.tick(); fs.tick(); fs.tick()
     assert fs.fps > 0
     assert fs.mrays_per_sec(100, 100) > 0
+
+
+def test_native_image_writer_roundtrip(tmp_path):
+    from volumerenderer_tpu.io import ppm as ppm_mod
+    from volumerenderer_tpu.io.frame_writer import (
+        AsyncFrameWriter, write_image_native,
+    )
+
+    rs = np.random.RandomState(30)
+    img = (rs.rand(33, 47, 3) * 255).astype(np.uint8)
+    # PPM: native write, python read.
+    p = str(tmp_path / "n.ppm")
+    write_image_native(p, img)
+    np.testing.assert_array_equal(ppm_mod.read_ppm(p), img)
+    # PNG: native write, PIL read.
+    from PIL import Image
+
+    p2 = str(tmp_path / "n.png")
+    write_image_native(p2, img)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2)), img)
+    # Async writer overlaps encode with the render loop.
+    with AsyncFrameWriter() as fw:
+        for i in range(5):
+            fw.submit(str(tmp_path / f"f{i}.png"), img)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(str(tmp_path / f"f{i}.png"))), img)

@@ -19,7 +19,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libvdbio.so"))
 _SRCS = [
     os.path.abspath(os.path.join(_NATIVE_DIR, f))
-    for f in ("vdbio.cpp", "vdb_read.cpp")
+    for f in ("vdbio.cpp", "vdb_read.cpp", "imageio.cpp")
 ]
 _lock = threading.Lock()
 _lib = None

@@ -1,1 +1,1 @@
-from . import checkpoint, ppm
+from . import checkpoint, frame_writer, ppm
