@@ -152,3 +152,26 @@ def test_view_cache_invalidation_on_camera_edit():
     v2 = r._view
     r.step()
     assert r._view is v2
+
+
+def test_camera_rotation_extension():
+    from volumerenderer_tpu.ops.camera import look_at_rotation
+
+    r_fwd = small_renderer(algorithm=Algorithm.POINT)
+    r_fwd.step()
+    base = r_fwd.image()
+
+    # Identity rotation reproduces the reference's fixed +z look exactly.
+    r_id = small_renderer(algorithm=Algorithm.POINT)
+    r_id.set(camera_rotation=np.eye(3, dtype=np.float32))
+    r_id.step()
+    np.testing.assert_array_equal(r_id.image(), base)
+
+    # A look-at rotation from an offset position still frames the volume.
+    r_rot = small_renderer(algorithm=Algorithm.POINT)
+    rot = look_at_rotation([12.0, 0.0, -10.0], [0.0, 0.0, 10.0])
+    r_rot.set(camera_pos=[12.0, 0.0, -10.0], camera_rotation=rot)
+    r_rot.step()
+    img = r_rot.image()
+    assert np.isfinite(img).all() and img.max() > 0
+    assert not np.allclose(img, base)

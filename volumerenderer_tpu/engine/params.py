@@ -52,6 +52,11 @@ class RenderParams:
     src/main.cpp:546-559."""
 
     camera_pos: jnp.ndarray  # vec3, default (0, 20, -75)
+    # Extension: camera orientation (camera-space +z forward). The reference
+    # has NO orientation control — its camera always looks down +z
+    # (point_compute_color.comp:36); identity reproduces that. Build with
+    # ops.camera.look_at_rotation.
+    camera_rotation: jnp.ndarray  # (3, 3), default identity
     fov: jnp.ndarray  # degrees
     photon_initial_intensity: jnp.ndarray
     scattering_probability: jnp.ndarray
@@ -69,6 +74,7 @@ class RenderParams:
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return cls(
             camera_pos=f32([0.0, 20.0, -75.0]),
+            camera_rotation=jnp.eye(3, dtype=jnp.float32),
             fov=f32(45.0),
             photon_initial_intensity=f32(100.0),
             scattering_probability=f32(0.05),

@@ -82,7 +82,9 @@ def render_frame(
     H, W = config.height, config.width
     rows = H if num_rows is None else num_rows
     o_w, d_w = camera.camera_rays(
-        W, H, params.fov, params.camera_pos, row_start=row_start, num_rows=rows
+        W, H, params.fov, params.camera_pos,
+        look_rotation=params.camera_rotation,
+        row_start=row_start, num_rows=rows,
     )
     o_i = grid.world_to_index(o_w.reshape(-1, 3))
     d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
