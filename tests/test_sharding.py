@@ -95,3 +95,16 @@ def test_mesh_renderer_cached_matches_single_device(lights_axis):
     np.testing.assert_allclose(
         np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
     assert int(mr.state.frame_count) == 2
+
+
+def test_mesh_renderer_path_fallback():
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    want, steps = _single_device_frames(g, params, config, Algorithm.PATH,
+                                        n_frames=2)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    mr = MeshRenderer(g, mesh, config, params, Algorithm.PATH)
+    mr.step(2)
+    np.testing.assert_allclose(
+        np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)

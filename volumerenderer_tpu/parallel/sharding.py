@@ -349,6 +349,17 @@ class MeshRenderer:
         self._view = None
 
     def step(self, n: int = 1) -> RenderState:
+        if self.algorithm is Algorithm.PATH:
+            # PATH has per-frame stochastic marches — nothing to bake; use
+            # the uncached sharded step.
+            for _ in range(n):
+                self.state = sharded_render_step(
+                    self.grid, self.params, self.state,
+                    algorithm=self.algorithm, config=self.config,
+                    max_steps=self.max_steps, mesh=self.mesh,
+                    gather_samples=self.gather_samples,
+                )
+            return self.state
         if self._view is None:
             self._view = build_view_sharded(
                 self.grid, self.params, config=self.config,

@@ -6,22 +6,27 @@ ray, AABB clip, fixed-step front-to-back march accumulating
 ``T * val * dt * lightIncoming`` with ``T *= exp(-val * absorption * dt)``,
 then ``frameColor = clamp(finalColor / lightCount)``.
 
-TPU-native pipeline (per ray tile):
+TPU-native pipeline, split at the march/shade boundary:
 
-  1. ``ops.march``      — vectorized transmittance march -> per-sample gather
-                          weights w_k (the only sequential physics, done as a
-                          parallel cumprod).
-  2. compaction         — ``top_k`` keeps the C highest-weight samples per
-                          ray; exact whenever a ray has <= C samples with
-                          nonzero weight (w is 0 outside the volume, in empty
-                          voxels, and past the T<=0.001 cutoff, so the march
-                          grid is overwhelmingly zeros).
-  3. light gather       — one batched (samples x lights) contraction; Ray and
-                          Beam first expand their segment lights into flat
-                          point/sphere lights once per frame
-                          (ops.lights.expand_segments), collapsing the
-                          reference's O(lights x segmentSteps) nested loop
-                          into the same dense gather as Point/Sphere.
+  build_view (once per camera/volume/march-param change):
+    1. ``ops.march``  — vectorized transmittance march -> per-sample gather
+                        weights w_k (the only sequential physics, done as a
+                        parallel cumprod), tiled over rays for memory.
+    2. compaction     — ``top_k`` keeps the C highest-weight samples per
+                        ray; exact whenever a ray has <= C samples with
+                        nonzero weight (w is 0 outside the volume, in empty
+                        voxels, and past the T<=0.001 cutoff, so the march
+                        grid is overwhelmingly zeros).
+    3. baking         — world-space sample coordinate planes, so per-frame
+                        shading does zero volume fetches and zero index math.
+
+  shade_view (every frame):
+    4. light gather   — one batched (samples x lights) contraction through
+                        the Pallas kernels (ops/gather.py dispatch); Ray and
+                        Beam either expand their segments into flat
+                        point/sphere lights (parity mode) or evaluate the
+                        segment integral directly (analytic mode).
+    5. reduce         — per-ray weighted sum, lightCount normalize, clamp.
 
 All lights are white, so radiance is carried as a scalar per pixel and only
 broadcast to RGB at the end (3x less HBM traffic than the reference's vec3).
