@@ -107,3 +107,59 @@ def test_trilinear_march_option():
     a, b = r_near.image(), r_tri.image()
     assert np.isfinite(b).all() and b.max() > 0
     assert not np.allclose(a, b)  # smoother sampling changes the image
+
+
+def test_occupied_clip_bit_identical():
+    # A volume with a large vacuum skirt: clipped and unclipped marches must
+    # produce identical weights at identical sample phases.
+    import jax.numpy as jnp
+    from volumerenderer_tpu.grid import from_dense
+    from volumerenderer_tpu.grid.dense import occupied_bbox
+    from volumerenderer_tpu.ops import march as M
+
+    vals = np.zeros((48, 48, 48), np.float32)
+    rs = np.random.RandomState(33)
+    vals[16:28, 18:30, 20:32] = rs.rand(12, 12, 12).astype(np.float32)
+    g = from_dense(vals)
+    box = occupied_bbox(g)
+    assert box is not None
+
+    o = jnp.asarray((rs.rand(64, 3) * 70 - 10).astype(np.float32))
+    d = jnp.asarray(rs.randn(64, 3).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    kw = dict(ray_max_distance=200.0, step_size=0.61, absorption=0.3)
+    full = M.march(g, o, d, max_steps=160, **kw)
+    clip = M.march(g, o, d, max_steps=64, clip_box=box, **kw)
+    # Same totals per ray, and every kept (t, w) pair matches by phase.
+    np.testing.assert_allclose(
+        np.asarray(full.weight.sum(axis=1)),
+        np.asarray(clip.weight.sum(axis=1)), rtol=1e-6, atol=1e-8)
+    for i in range(8):
+        wf = np.asarray(full.weight[i]); tf = np.asarray(full.t[i])
+        wc = np.asarray(clip.weight[i]); tc = np.asarray(clip.t[i])
+        nz_f = {round(float(t), 4): float(w) for t, w in zip(tf, wf) if w != 0}
+        nz_c = {round(float(t), 4): float(w) for t, w in zip(tc, wc) if w != 0}
+        assert nz_f == nz_c, i
+
+
+def test_session_uses_occupied_clip():
+    import jax.numpy as jnp
+    from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
+    from volumerenderer_tpu.grid import from_dense
+
+    vals = np.zeros((32, 32, 32), np.float32)
+    vals[12:20, 12:20, 12:20] = 0.8
+    g = from_dense(vals, translation=(-16.0, -16.0, 0.0))
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -20.0]),
+        light_source_world_pos=jnp.float32([0.0, 0.0, 16.0]),
+        scattering_probability=jnp.float32(0.5))
+    cfg = StaticConfig(width=16, height=12, ray_tile=64, light_capacity=64,
+                       max_events_per_photon=8)
+    r = Renderer(g, cfg, params, algorithm=Algorithm.POINT)
+    r.step(2)
+    r_plain = Renderer(g, cfg, params, algorithm=Algorithm.POINT)
+    r_plain.use_view_cache = False
+    r_plain.step(2)
+    np.testing.assert_allclose(r.image(), r_plain.image(), rtol=1e-5,
+                               atol=1e-7)

@@ -92,12 +92,33 @@ class Renderer:
             self.config.max_march_steps,
         )
 
+    def _occupied_clip(self):
+        """Concrete occupied-brick bbox + step bound (host-side, cached per
+        grid): marches clip to the occupied region — bit-identical results,
+        fewer wasted steps on vacuum skirts (ops.march clip_box)."""
+        import math
+
+        from ..grid.dense import occupied_bbox
+
+        if getattr(self, "_occ_cache_id", None) != id(self.grid.voxels):
+            self._occ_cache = occupied_bbox(self.grid)
+            self._occ_cache_id = id(self.grid.voxels)
+        box = self._occ_cache
+        if box is None:
+            return None, 1
+        diag = float(np.linalg.norm(box[1] - box[0]))
+        steps = int(
+            math.ceil(diag / float(self.params.ray_marching_step_size))
+        ) + 3
+        return box, max(1, min(steps, self.config.max_march_steps))
+
     def _current_view(self, max_steps: int):
         """The baked march for the current camera/volume/march params,
         rebuilt when any dependency changes (camera edits invalidate; light
         edits don't — matching which UBO fields the march reads)."""
         key = (
             tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
+            tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
             float(self.params.fov),
             float(self.params.ray_max_distance),
             float(self.params.ray_marching_step_size),
@@ -109,11 +130,13 @@ class Renderer:
             id(self.grid.voxels),
         )
         if key != self._view_key:
+            clip_box, view_steps = self._occupied_clip()
             self._view = build_view_step(
                 self.grid,
                 self.params,
+                clip_box,
                 config=self.config,
-                max_steps=max_steps,
+                max_steps=min(max_steps, view_steps),
                 gather_samples=self.gather_samples,
             )
             self._view_key = key

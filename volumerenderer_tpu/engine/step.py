@@ -77,15 +77,18 @@ def render_step(
 def build_view_step(
     grid: DenseGrid,
     params: RenderParams,
+    clip_box=None,
     *,
     config: StaticConfig,
     max_steps: int,
     gather_samples: int = 0,
 ):
     """Bake the per-view march (render.color.build_view) once per camera/
-    volume/step change; reused by every subsequent cached frame."""
+    volume/step change; reused by every subsequent cached frame.
+    ``clip_box``: concrete occupied-region corners (session computes them
+    host-side from the brick occupancy)."""
     return color_mod.build_view(
-        grid, params, config, max_steps, gather_samples
+        grid, params, config, max_steps, gather_samples, clip_box=clip_box
     )
 
 

@@ -114,6 +114,24 @@ class DenseGrid:
         return acc
 
 
+def occupied_bbox(grid: DenseGrid) -> tuple[np.ndarray, np.ndarray] | None:
+    """Index-space AABB of the OCCUPIED bricks (host-side, concrete).
+
+    Everything outside is exactly zero density, so marches clipped to this
+    box (grid-aligned, see render.color.build_view) are bit-identical to
+    full-bbox marches while skipping vacuum skirts.  Returns (min_corner,
+    max_corner_exclusive) as float arrays, or None if the volume is empty.
+    """
+    occ = np.asarray(grid.brick_occ)
+    if not occ.any():
+        return None
+    idx = np.argwhere(occ)
+    lo = idx.min(axis=0) * BRICK
+    hi = (idx.max(axis=0) + 1) * BRICK
+    bmin = np.asarray(grid.bbox_min)
+    return (bmin + lo).astype(np.float32), (bmin + hi).astype(np.float32)
+
+
 def _pad_to_brick(a: np.ndarray) -> np.ndarray:
     pads = [(0, (-s) % BRICK) for s in a.shape]
     if any(p[1] for p in pads):

@@ -61,6 +61,7 @@ def march(
     absorption,
     max_steps: int,
     interpolation: str = "nearest",
+    clip_box=None,
 ) -> MarchResult:
     """March rays given in *index space* (origins (N,3), unit dirs (N,3)).
 
@@ -69,6 +70,13 @@ def march(
     ``interpolation``: "nearest" reproduces the reference's voxel fetch
     (pnanovdb_readaccessor_get_value_address); "trilinear" is the smoother
     extension (8-tap).
+
+    ``clip_box``: optional (lo, hi) index-space corners of the OCCUPIED
+    region (grid.dense.occupied_bbox).  The sample grid is advanced past the
+    leading vacuum by a WHOLE number of steps, so sample phases — and
+    therefore results — are bit-identical to the unclipped march, while
+    ``max_steps`` may be bounded by the occupied diagonal instead of the
+    full volume's.
     """
     zero = jnp.zeros(origin_idx.shape[:-1], jnp.float32)
     hit, tmin, tmax = intersect.intersect_aabb(
@@ -81,6 +89,24 @@ def march(
     )
     live = hit & (tmax > 0.0)
     tmin = jnp.maximum(tmin, 0.0) + ENTRY_EPS * step_size
+
+    if clip_box is not None:
+        lo, hi = clip_box
+        hit2, u_lo, u_hi = intersect.intersect_aabb(
+            origin_idx,
+            dir_idx,
+            jnp.asarray(lo, jnp.float32),
+            jnp.asarray(hi, jnp.float32),
+            zero,
+            zero + ray_max_distance,
+        )
+        live = live & hit2 & (u_hi > 0.0)
+        # Skip leading vacuum by whole steps (floor: one conservative sample
+        # before the occupied box; skipped samples are exactly zero density
+        # so transmittance is unchanged).
+        m = jnp.floor(jnp.maximum(u_lo - tmin, 0.0) / step_size)
+        tmin = tmin + m * step_size
+        tmax = jnp.minimum(tmax, u_hi + step_size)
 
     k = jnp.arange(max_steps, dtype=jnp.float32)
     t = tmin[..., None] + k * step_size  # (N, S)

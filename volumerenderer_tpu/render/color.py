@@ -114,8 +114,13 @@ def build_view(
     gather_samples: int = 0,
     row_start=0,
     num_rows: int | None = None,
+    clip_box=None,
 ) -> ViewCache:
-    """Run the transmittance march for every pixel and bake the results."""
+    """Run the transmittance march for every pixel and bake the results.
+
+    ``clip_box``: optional occupied-region corners (grid.dense.occupied_bbox)
+    — lets max_steps be bounded by the occupied diagonal; bit-identical
+    results (ops.march)."""
     H, W = config.height, config.width
     rows = H if num_rows is None else num_rows
     o_w, d_w = camera.camera_rays(
@@ -150,6 +155,7 @@ def build_view(
             absorption=params.absorption_coefficient,
             max_steps=max_steps,
             interpolation=config.interpolation,
+            clip_box=clip_box,
         )
         if compact:
             w, idx = jax.lax.top_k(m.weight, C)
