@@ -96,11 +96,9 @@ def test_gather_planes_vpu_interpret_matches_xla():
         got = gather_planes(px, py, pz, w, lpos, lint, valid,
                             sphere=sphere, radius=0.3,
                             impl="vpu_interpret")
-        # Kernel skips zero-weight blocks; compare only where weights exist.
-        mask = np.asarray(w) != 0
+        # Outputs are weight-folded: want already includes the weight.
         np.testing.assert_allclose(
-            np.asarray(got)[mask], np.asarray(want)[mask],
-            rtol=2e-4, atol=1e-6)
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-6)
 
 
 def test_gather_planes_zero_lights():

@@ -128,10 +128,12 @@ def gather_planes(
 ):
     """Gather over SoA world-coordinate planes px/py/pz (each (R, C)).
 
-    ``weight`` (R, C) marks which samples matter; whole blocks of zero
-    weight are skipped by the TPU kernels.  Requires the valid light slots
-    to form one contiguous range (true for photon lights, compacted segment
-    expansions, and light-axis shards).  Returns (R, C) radiance sums.
+    ``weight`` (R, C) scales each sample's contribution; whole blocks of
+    zero weight are skipped by the TPU kernels and the multiply is folded
+    into the kernel epilogue.  Requires the valid light slots to form one
+    contiguous range (true for photon lights, compacted segment expansions,
+    and light-axis shards).  Returns (R, C) WEIGHTED radiance sums
+    (weight * sum over lights).
     """
     from .pallas import gather_vpu as vpu_mod
 
@@ -149,7 +151,7 @@ def gather_planes(
         samples = jnp.stack(
             [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
         )
-        return gather_xla(
+        return weight * gather_xla(
             samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius
         ).reshape(R, C)
     if base == "mxu":
@@ -158,18 +160,18 @@ def gather_planes(
         )
         from .pallas.gather_kernel import gather_mxu
 
-        return gather_mxu(
+        return weight * gather_mxu(
             samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius,
             center=center, interpret=interpret,
         ).reshape(R, C)
 
     # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
-    pxm, pym, pzm, block_active, M = _plane_blocks(px, py, pz, weight)
+    pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     valid_i = l_valid.astype(jnp.int32)
     count = jnp.sum(valid_i)
     start = jnp.argmax(valid_i)  # first valid slot (0 if none; count==0 then)
     out = vpu_mod.gather_vpu(
-        pxm, pym, pzm, block_active, l_pos, l_int, start, count,
+        pxm, pym, pzm, wm, block_active, l_pos, l_int, start, count,
         sphere=sphere, radius=radius, interpret=interpret,
     )
     return out[:M].reshape(R, C)
@@ -190,7 +192,7 @@ def _plane_blocks(px, py, pz, weight):
     block_active = (
         jnp.any(wm.reshape(n_blocks, vpu_mod.TILE_M * 128) != 0.0, axis=1)
     ).astype(jnp.int32)
-    return pxm, pym, pzm, block_active, M
+    return pxm, pym, pzm, wm, block_active, M
 
 
 def segment_integral_xla(samples, pos_from, pos_to, intensity, valid):
@@ -248,7 +250,7 @@ def gather_segments(
 
     ``sphere_radius=None`` -> closed-form point-sub-light line integral;
     otherwise the ``quad_nodes``-point sphere-light quadrature.
-    Returns (R, C) radiance."""
+    Returns (R, C) WEIGHTED radiance (weight folded into the kernel)."""
     from .pallas import gather_vpu as vpu_mod
 
     R, C = px.shape
@@ -269,10 +271,10 @@ def gather_segments(
                 samples, pos_from, pos_to, intensity, valid, sphere_radius,
                 quad_nodes,
             )
-        return out.reshape(R, C)
-    pxm, pym, pzm, block_active, M = _plane_blocks(px, py, pz, weight)
+        return weight * out.reshape(R, C)
+    pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_analytic(
-        pxm, pym, pzm, block_active, pos_from, pos_to, intensity, valid,
+        pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
         sphere_radius=sphere_radius, quad_nodes=quad_nodes,
         interpret=interpret,
     )

@@ -36,7 +36,7 @@ SMEM_LIGHT_LIMIT = 2048  # beyond this, use the MXU kernel
 
 
 def _kernel(meta_ref, rad_ref, lights_ref, active_ref, px_ref, py_ref,
-            pz_ref, o_ref, *, sphere: bool):
+            pz_ref, w_ref, o_ref, *, sphere: bool):
     i = pl.program_id(0)
 
     @pl.when(active_ref[i] == 0)
@@ -69,7 +69,7 @@ def _kernel(meta_ref, rad_ref, lights_ref, active_ref, px_ref, py_ref,
                 bad = d2e < GUARD
             return acc + jnp.where(bad, 0.0, ii / jnp.maximum(d2e, GUARD))
 
-        o_ref[:] = jax.lax.fori_loop(
+        o_ref[:] = w_ref[:] * jax.lax.fori_loop(
             start, start + count, light, jnp.zeros_like(o_ref)
         )
 
@@ -94,7 +94,8 @@ def _atan(x):
 
 
 def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
-                           px_ref, py_ref, pz_ref, o_ref, *, nodes: int):
+                           px_ref, py_ref, pz_ref, w_ref, o_ref,
+                           *, nodes: int):
     """Quadrature VBL: midpoint rule over each segment's sphere-light
     integrand 1/(4 pi (d(s) - r)^2) with a FIXED node count, instead of the
     reference's len/lightRayStepSize sub-lights (beam_compute_color.comp:
@@ -143,13 +144,13 @@ def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
                 total += jnp.where(bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD))
             return acc + ii * (ll / nodes) * total
 
-        o_ref[:] = jax.lax.fori_loop(
+        o_ref[:] = w_ref[:] * jax.lax.fori_loop(
             start, start + count, seg, jnp.zeros_like(o_ref)
         )
 
 
 def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
-                    pz_ref, o_ref):
+                    pz_ref, w_ref, o_ref):
     """Analytic VRL: closed-form line integral per (sample, segment).
 
     The reference discretizes each RayLight segment every lightRayStepSize
@@ -196,7 +197,7 @@ def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
             integral = (_atan((ll - b) / q) + _atan(b / q)) / q
             return acc + ii * integral
 
-        o_ref[:] = jax.lax.fori_loop(
+        o_ref[:] = w_ref[:] * jax.lax.fori_loop(
             start, start + count, seg, jnp.zeros_like(o_ref)
         )
 
@@ -205,6 +206,7 @@ def gather_vpu(
     px,
     py,
     pz,
+    wm,
     block_active,
     l_pos,
     l_int,
@@ -215,9 +217,11 @@ def gather_vpu(
     radius=0.0,
     interpret: bool = False,
 ):
-    """px/py/pz: (M, 128) world coords; block_active: (M // TILE_M,) int32;
-    lights (L <= SMEM_LIGHT_LIMIT); [start, start+count) = valid range.
-    Returns (M, 128) radiance sums."""
+    """px/py/pz/wm: (M, 128) world coords + gather weights; block_active:
+    (M // TILE_M,) int32; lights (L <= SMEM_LIGHT_LIMIT); [start,
+    start+count) = valid range.  Returns (M, 128) WEIGHTED radiance sums
+    (w * sum over lights) — the weight multiply is folded into the kernel
+    so no separate pass over the planes is needed."""
     M = px.shape[0]
     assert M % TILE_M == 0, M
     L = l_pos.shape[0]
@@ -242,6 +246,7 @@ def gather_vpu(
             spec(),
             spec(),
             spec(),
+            spec(),
         ],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
@@ -259,6 +264,7 @@ def gather_vpu(
         px,
         py,
         pz,
+        wm,
     )
 
 
@@ -266,6 +272,7 @@ def gather_segments_analytic(
     px,
     py,
     pz,
+    wm,
     block_active,
     pos_from,
     pos_to,
@@ -319,6 +326,7 @@ def gather_segments_analytic(
                 spec(),
                 spec(),
                 spec(),
+                spec(),
             ],
             out_specs=spec(),
             out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
@@ -328,7 +336,7 @@ def gather_segments_analytic(
                 bytes_accessed=4 * M * 128 * 4,
                 transcendentals=2 * M * 128 * L,
             ),
-        )(meta, lights, block_active, px, py, pz)
+        )(meta, lights, block_active, px, py, pz, wm)
     return pl.pallas_call(
         functools.partial(_segment_sphere_kernel, nodes=quad_nodes),
         grid=grid,
@@ -337,6 +345,7 @@ def gather_segments_analytic(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # radius (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
+            spec(),
             spec(),
             spec(),
             spec(),
@@ -357,4 +366,5 @@ def gather_segments_analytic(
         px,
         py,
         pz,
+        wm,
     )

@@ -220,7 +220,7 @@ def shade_view(
         # Segment integral evaluated directly — no sub-light expansion
         # (ops.gather.gather_segments): closed form for Ray, fixed-node
         # quadrature for Beam's sphere lights.
-        light_in = gather_ops.gather_segments(
+        weighted = gather_ops.gather_segments(
             view.wx, view.wy, view.wz, view.weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             impl=config.gather_impl,
@@ -236,12 +236,12 @@ def shade_view(
         # Volume-centered frame for the MXU distance matmul (gather_kernel).
         center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
         sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
-        light_in = gather_ops.gather_planes(
+        weighted = gather_ops.gather_planes(
             view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
             sphere=sphere, radius=params.beam_radius,
             impl=config.gather_impl, center=center,
         )
-    colors = jnp.sum(view.weight * light_in, axis=-1)[: view.n_rays]
+    colors = jnp.sum(weighted, axis=-1)[: view.n_rays]
 
     if not normalize:
         return colors.reshape(view.rows, W)
