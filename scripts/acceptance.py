@@ -78,6 +78,8 @@ def run() -> dict:
     # 2-4.
     measure("point_720p", Algorithm.POINT, 1280, 720)
     measure("sphere_720p", Algorithm.SPHERE, 1280, 720)
+    measure("ray_1080p", Algorithm.RAY, 1920, 1080)
+    measure("beam_1080p", Algorithm.BEAM, 1920, 1080)
     measure("ray_1080p_analytic", Algorithm.RAY, 1920, 1080,
             segment_mode="analytic")
 
@@ -92,7 +94,44 @@ def run() -> dict:
     report["configs"]["beam_1080p_analytic"]["accumulation_reset_ok"] = (
         int(r.state.frame_count) == 1
     )
+
+    # 6. On-TPU bit-equality of the in-kernel discrete segment gather vs the
+    # expansion + VPU pipeline (PARITY.md #11/#12): the default Ray/Beam
+    # parity mode must reproduce the reference's sub-light sum exactly.
+    if jax.default_backend() == "tpu":
+        report["discrete_kernel_bitequal"] = _check_discrete_bitequal()
     return report
+
+
+def _check_discrete_bitequal() -> dict:
+    from volumerenderer_tpu.ops import lights as L
+    from volumerenderer_tpu.ops.gather import (
+        gather_planes, gather_segments_discrete,
+    )
+
+    rs = np.random.RandomState(31)
+    px = jnp.asarray((rs.randn(64, 32) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(64, 32) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(64, 32) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(64, 32) > 0.2).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(8, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(8, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(8) * 30).astype(np.float32))
+    valid = jnp.arange(8) < 6
+    out = {}
+    for name, radius in (("ray", None), ("beam", 0.2)):
+        pts, ints, vmask = L.expand_segments(
+            pos_from, pos_to, inten, valid, 0.4, 512)
+        cpos, cint, cvalid, _ = L.compact_valid(pts, ints, vmask, 2048)
+        want = gather_planes(
+            px, py, pz, w, cpos, cint, cvalid,
+            sphere=radius is not None,
+            radius=0.0 if radius is None else radius, impl="vpu")
+        got = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.4,
+            sphere_radius=radius, impl="vpu")
+        out[name] = bool((np.asarray(got) == np.asarray(want)).all())
+    return out
 
 
 if __name__ == "__main__":

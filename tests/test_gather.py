@@ -197,3 +197,119 @@ def test_beam_quadrature_kernel_matches_xla():
                           quad_nodes=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-6)
+
+
+def _seg_scene(seed, nseg=8, spread=8.0):
+    rs = np.random.RandomState(seed)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * spread + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * spread + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * spread + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.2).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(nseg, 3) * spread + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(nseg, 3) * spread + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(nseg) * 30).astype(np.float32))
+    valid = jnp.arange(nseg) < nseg - 2
+    return px, py, pz, w, pos_from, pos_to, inten, valid
+
+
+def test_discrete_segment_kernel_matches_expansion_xla():
+    """In-kernel discrete sub-light sum == capped expansion oracle when the
+    caps don't bind (Ray point sub-lights and Beam sphere sub-lights)."""
+    from volumerenderer_tpu.ops.gather import gather_segments_discrete
+
+    px, py, pz, w, pos_from, pos_to, inten, valid = _seg_scene(27)
+    for radius in (None, 0.25):
+        want = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="xla", max_points_per_segment=4096)
+        got = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="vpu_interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_discrete_segment_kernel_bitequal_expanded_vpu():
+    """Same per-pair math and summation order as the expansion + VPU-kernel
+    pipeline -> bit-identical outputs when the expansion caps don't bind.
+
+    On real TPU (Mosaic) the two are exactly bit-equal (verified on-chip;
+    scripts/acceptance.py re-checks).  The CPU interpret path differs only
+    by LLVM contracting the scalar sub-light position `ax + sf*ux` into a
+    single-rounded FMA (optimization_barrier does not reach LLVM codegen),
+    so off-TPU this asserts ulp-tight closeness instead.
+    """
+    import jax
+
+    from volumerenderer_tpu.ops.gather import (
+        gather_planes, gather_segments_discrete)
+
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "vpu" if on_tpu else "vpu_interpret"
+    px, py, pz, w, pos_from, pos_to, inten, valid = _seg_scene(28, nseg=6)
+    step = 0.4
+    for radius in (None, 0.2):
+        pts, ints, vmask = L.expand_segments(
+            pos_from, pos_to, inten, valid, step, 512)
+        # Capacity <= SMEM_LIGHT_LIMIT so gather_planes stays on the VPU
+        # kernel (same summation order as the in-kernel discrete loop).
+        cpos, cint, cvalid, dropped = L.compact_valid(
+            pts, ints, vmask, 2048)
+        assert int(dropped) == 0
+        want = gather_planes(
+            px, py, pz, w, cpos, cint, cvalid,
+            sphere=radius is not None, radius=0.0 if radius is None else radius,
+            impl=impl)
+        got = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, step,
+            sphere_radius=radius, impl=impl)
+        if on_tpu:
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-7)
+
+
+def test_discrete_segment_kernel_is_uncapped():
+    """A segment longer than max_points_per_segment sub-lights: the old
+    expansion truncates (dimming the image, ADVICE r1); the in-kernel path
+    sums every sub-light of the reference semantics."""
+    from volumerenderer_tpu.ops.gather import gather_segments_discrete
+
+    px = jnp.full((8, 16), 30.0); py = jnp.full((8, 16), 2.0)
+    pz = jnp.full((8, 16), 1.0)
+    w = jnp.ones((8, 16), jnp.float32)
+    pos_from = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    pos_to = jnp.asarray([[60.0, 0.0, 0.0]], jnp.float32)  # 200 sub-lights @0.3
+    inten = jnp.asarray([50.0], jnp.float32)
+    valid = jnp.asarray([True])
+    capped = gather_segments_discrete(
+        px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+        impl="xla", max_points_per_segment=64)
+    full = gather_segments_discrete(
+        px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+        impl="xla", max_points_per_segment=4096)
+    got = gather_segments_discrete(
+        px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+        impl="vpu_interpret")
+    assert float(full.min()) > float(capped.max())  # truncation dims
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_discrete_segment_kernel_zero_and_short_segments():
+    from volumerenderer_tpu.ops.gather import gather_segments_discrete
+
+    px = jnp.full((8, 16), 5.0); py = px; pz = px
+    w = jnp.ones((8, 16), jnp.float32)
+    # Segment shorter than one light step -> steps==0 -> no contribution
+    # (the reference loop body never runs); plus a zero-length segment.
+    pos_from = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]], jnp.float32)
+    pos_to = jnp.asarray([[0.1, 0.0, 0.0], [1.0, 1.0, 1.0]], jnp.float32)
+    inten = jnp.asarray([10.0, 10.0], jnp.float32)
+    valid = jnp.asarray([True, True])
+    out = gather_segments_discrete(
+        px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+        impl="vpu_interpret")
+    assert float(jnp.abs(out).max()) == 0.0

@@ -108,3 +108,48 @@ def test_mesh_renderer_path_fallback():
     mr.step(2)
     np.testing.assert_allclose(
         np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_renderer_batched_dispatch_matches_per_frame():
+    """step(8) runs as ONE sharded dispatch (n_frames=8 fori_loop); results
+    must equal eight separate single-frame dispatches."""
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    mesh = sharding.make_mesh(jax.devices()[:8])
+
+    per_frame = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
+    per_frame.frame_batch = 1
+    per_frame.step(8)
+
+    batched = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
+    assert batched.frame_batch == 8
+    batched.step(8)
+
+    np.testing.assert_allclose(
+        np.asarray(batched.state.accum), np.asarray(per_frame.state.accum),
+        rtol=1e-5, atol=1e-7)
+    assert int(batched.state.frame_count) == 8
+
+
+def test_mesh_renderer_rebakes_view_on_param_edit():
+    """Editing a march-relevant parameter after the first step must re-bake
+    the sharded view (stale-cache bug from ADVICE r1)."""
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    mr = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
+    mr.step(1)
+    moved = params.replace(camera_pos=jnp.float32([4.0, 2.0, -18.0]))
+
+    # Ground truth: fresh renderer with the new camera from frame 1.
+    mr2 = MeshRenderer(g, mesh, config, moved, Algorithm.POINT)
+    mr2.step(1)
+
+    mr.params = moved
+    mr.state = mr.state.refresh()  # Refresh button semantics
+    mr.step(1)
+    np.testing.assert_allclose(
+        np.asarray(mr.state.accum), np.asarray(mr2.state.accum),
+        rtol=1e-5, atol=1e-7)

@@ -107,11 +107,17 @@ class StaticConfig:
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)
-    # Ray/VRL + Beam/VBL sub-light handling: "discrete" reproduces the
-    # reference's per-lightRayStepSize point sampling; "analytic" evaluates
-    # the segment integral directly (closed form for Ray; midpoint
-    # quadrature with beam_quadrature_nodes points for Beam) — 10-100x
-    # fewer terms.
+    # Ray/VRL + Beam/VBL sub-light handling:
+    #   "discrete"          — reference parity: per-lightRayStepSize point
+    #                         sampling, iterated in-kernel from the raw
+    #                         segment table (uncapped, no HBM expansion).
+    #   "discrete_expanded" — legacy parity path: materialize + compact the
+    #                         sub-light expansion (capped by
+    #                         max_points_per_segment/expanded_light_capacity).
+    #   "analytic"          — evaluate the segment integral directly (closed
+    #                         form for Ray; midpoint quadrature with
+    #                         beam_quadrature_nodes points for Beam) —
+    #                         10-100x fewer terms than discrete.
     segment_mode: str = "discrete"
     beam_quadrature_nodes: int = 16
     ray_tile: int = 16384  # rays processed per march tile (memory bound)

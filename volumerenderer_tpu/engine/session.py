@@ -43,7 +43,12 @@ class Renderer:
         algorithm: Algorithm = Algorithm.RAY,  # default (src/main.cpp:119)
         gather_samples: int | None = None,
     ):
-        self.grid = grid
+        self._grid = grid
+        # Monotonic token identifying the current volume: id() of a freed
+        # array can be reused by a new one (CPython allocator), which would
+        # alias a replaced grid to stale cached views — so caches key on
+        # this counter, bumped by every assignment to .grid.
+        self._grid_token = 0
         self.config = config or StaticConfig()
         self.params = params or RenderParams.default()
         self.algorithm = algorithm
@@ -59,6 +64,17 @@ class Renderer:
         self.use_view_cache = True
         self._view = None
         self._view_key = None
+
+    # ---- volume ----
+
+    @property
+    def grid(self) -> DenseGrid:
+        return self._grid
+
+    @grid.setter
+    def grid(self, new_grid: DenseGrid) -> None:
+        self._grid = new_grid
+        self._grid_token += 1
 
     # ---- UI semantics ----
 
@@ -100,9 +116,9 @@ class Renderer:
 
         from ..grid.dense import occupied_bbox
 
-        if getattr(self, "_occ_cache_id", None) != id(self.grid.voxels):
+        if getattr(self, "_occ_cache_id", None) != self._grid_token:
             self._occ_cache = occupied_bbox(self.grid)
-            self._occ_cache_id = id(self.grid.voxels)
+            self._occ_cache_id = self._grid_token
         box = self._occ_cache
         if box is None:
             return None, 1
@@ -127,7 +143,7 @@ class Renderer:
             self.config.height,
             max_steps,
             self.gather_samples,
-            id(self.grid.voxels),
+            self._grid_token,
         )
         if key != self._view_key:
             clip_box, view_steps = self._occupied_clip()

@@ -242,6 +242,75 @@ def segment_sphere_quadrature_xla(
     return jnp.sum(ii[None, :] * total, axis=-1)
 
 
+def segment_discrete_xla(
+    samples, pos_from, pos_to, intensity, valid, light_ray_step_size,
+    *, sphere_radius=None, max_points_per_segment: int = 512,
+):
+    """Discrete sub-light sum, independent XLA reference path for tests.
+
+    Materializes the (capped) expansion exactly like the reference's double
+    loop semantics (ray_compute_color.comp:11-24) via lights.expand_segments
+    and sums point/sphere contributions.  TRUNCATES segments beyond
+    ``max_points_per_segment`` sub-lights (static-shape necessity); the
+    Pallas kernel (gather_segments_discrete) has no such cap.
+    """
+    from .lights import expand_segments
+
+    pts, ints, vmask = expand_segments(
+        pos_from, pos_to, intensity, valid, light_ray_step_size,
+        max_points_per_segment,
+    )
+    return gather_xla(
+        samples, pts, ints, vmask,
+        sphere=sphere_radius is not None,
+        radius=0.0 if sphere_radius is None else sphere_radius,
+    )
+
+
+def gather_segments_discrete(
+    px, py, pz, weight, pos_from, pos_to, intensity, valid,
+    light_ray_step_size,
+    *, sphere_radius=None, impl: str = "auto",
+    max_points_per_segment: int = 512,
+):
+    """Reference-parity discrete Ray/VRL / Beam/VBL gather over SoA planes.
+
+    Sub-lights are iterated INSIDE the Pallas kernel from the raw segment
+    table — no HBM expansion, no per-segment or total sub-light caps
+    (the caps/truncation of the old expansion pipeline are gone; see
+    gather_vpu._segment_discrete_kernel).  ``impl='xla'`` selects the
+    independent capped expansion path (test oracle).  Returns (R, C)
+    WEIGHTED radiance sums.
+    """
+    from .pallas import gather_vpu as vpu_mod
+
+    R, C = px.shape
+    interpret = impl.endswith("_interpret")
+    base = impl.replace("_interpret", "")
+    if base in ("auto", "mxu", "vpu"):
+        if jax.default_backend() == "tpu":
+            base = "vpu"
+        else:
+            # Same kernel semantics everywhere: interpret-mode on CPU.
+            base, interpret = "vpu", True
+    if base == "xla":
+        samples = jnp.stack(
+            [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
+        )
+        out = segment_discrete_xla(
+            samples, pos_from, pos_to, intensity, valid,
+            light_ray_step_size, sphere_radius=sphere_radius,
+            max_points_per_segment=max_points_per_segment,
+        )
+        return weight * out.reshape(R, C)
+    pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
+    out = vpu_mod.gather_segments_discrete(
+        pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
+        light_ray_step_size, sphere_radius=sphere_radius, interpret=interpret,
+    )
+    return out[:M].reshape(R, C)
+
+
 def gather_segments(
     px, py, pz, weight, pos_from, pos_to, intensity, valid,
     *, impl: str = "auto", sphere_radius=None, quad_nodes: int = 16,

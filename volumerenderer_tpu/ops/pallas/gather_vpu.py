@@ -35,8 +35,11 @@ TILE_M = 512  # sublane rows per block -> 512*128 = 65536 samples/block
 SMEM_LIGHT_LIMIT = 2048  # beyond this, use the MXU kernel
 
 
-def _kernel(meta_ref, rad_ref, lights_ref, active_ref, px_ref, py_ref,
-            pz_ref, w_ref, o_ref, *, sphere: bool):
+def _kernel(meta_ref, rad_ref, lx_ref, ly_ref, lz_ref, li_ref, active_ref,
+            px_ref, py_ref, pz_ref, w_ref, o_ref, *, sphere: bool):
+    # Light columns arrive as separate 1-D SMEM arrays: 2-D SMEM windows are
+    # lane-padded 32x on TPU (an f32[2048,4] window allocates 1 MB of the
+    # 1 MB SMEM budget); 1-D windows are packed tight.
     i = pl.program_id(0)
 
     @pl.when(active_ref[i] == 0)
@@ -51,10 +54,10 @@ def _kernel(meta_ref, rad_ref, lights_ref, active_ref, px_ref, py_ref,
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
 
         def light(k, acc):
-            lx = lights_ref[k, 0]
-            ly = lights_ref[k, 1]
-            lz = lights_ref[k, 2]
-            ii = lights_ref[k, 3]  # intensity / (4 pi)
+            lx = lx_ref[k]
+            ly = ly_ref[k]
+            lz = lz_ref[k]
+            ii = li_ref[k]  # intensity / (4 pi)
             dx = px - lx
             dy = py - ly
             dz = pz - lz
@@ -93,8 +96,9 @@ def _atan(x):
     return jnp.where(x < 0.0, -p, p)
 
 
-def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
-                           px_ref, py_ref, pz_ref, w_ref, o_ref,
+def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
+                           ux_ref, uy_ref, uz_ref, ll_ref, ii_ref,
+                           active_ref, px_ref, py_ref, pz_ref, w_ref, o_ref,
                            *, nodes: int):
     """Quadrature VBL: midpoint rule over each segment's sphere-light
     integrand 1/(4 pi (d(s) - r)^2) with a FIXED node count, instead of the
@@ -104,7 +108,8 @@ def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
     terms).  d^2(s) = s^2 - 2 b s + c is evaluated per node from the
     per-segment (b, c) — 2 ops — so each node costs ~7 VPU ops.
 
-    lights_ref rows: [ax, ay, az, ux, uy, uz, L, I/(4 pi L)].
+    Segment columns as 1-D SMEM arrays: ax, ay, az, ux, uy, uz, L,
+    I/(4 pi L).
     """
     i = pl.program_id(0)
 
@@ -120,14 +125,14 @@ def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
 
         def seg(k, acc):
-            ax = lights_ref[k, 0]
-            ay = lights_ref[k, 1]
-            az = lights_ref[k, 2]
-            ux = lights_ref[k, 3]
-            uy = lights_ref[k, 4]
-            uz = lights_ref[k, 5]
-            ll = lights_ref[k, 6]
-            ii = lights_ref[k, 7]
+            ax = ax_ref[k]
+            ay = ay_ref[k]
+            az = az_ref[k]
+            ux = ux_ref[k]
+            uy = uy_ref[k]
+            uz = uz_ref[k]
+            ll = ll_ref[k]
+            ii = ii_ref[k]
             dx = px - ax
             dy = py - ay
             dz = pz - az
@@ -149,7 +154,84 @@ def _segment_sphere_kernel(meta_ref, rad_ref, lights_ref, active_ref,
         )
 
 
-def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
+def _segment_discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref,
+                             ux_ref, uy_ref, uz_ref, ns_ref, ii_ref,
+                             active_ref, px_ref, py_ref, pz_ref, w_ref,
+                             o_ref, *, sphere: bool):
+    """Bit-parity discrete VRL/VBL: iterate each segment's sub-lights
+    INSIDE the kernel from the raw segment table, instead of materializing
+    a capped point-light expansion through HBM (ops.lights.expand_segments
+    + compact_valid).
+
+    Reproduces the reference double loop exactly (ray_compute_color.comp:
+    11-24, beam_compute_color.comp:11-24): sub-light s of segment k sits at
+    ``from + (s*lightRayStepSize)*dir`` with intensity ``I/steps``,
+    ``steps = floor(len/step)`` — evaluated as a point light (Ray) or a
+    beamRadius sphere light (Beam).  The sub-light position is scalar math
+    in SMEM (amortized over the whole 512x128 sample block); only the
+    distance/contribution math is vector work.  UNCAPPED: the inner
+    fori_loop's trip count is each segment's true ``steps``, so the
+    max_points_per_segment / expanded_light_capacity truncation of the
+    expansion path does not exist here.
+
+    Segment columns are 1-D SMEM arrays [ax, ay, az, ux, uy, uz, steps
+    (i32), I/(steps*4pi)]; scal_ref: [light_ray_step_size, beam_radius].
+    """
+    i = pl.program_id(0)
+
+    @pl.when(active_ref[i] == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(active_ref[i] != 0)
+    def _():
+        start = meta_ref[0]
+        count = meta_ref[1]
+        lstep = scal_ref[0]
+        radius = scal_ref[1]
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+
+        def seg(k, acc):
+            ax = ax_ref[k]
+            ay = ay_ref[k]
+            az = az_ref[k]
+            ux = ux_ref[k]
+            uy = uy_ref[k]
+            uz = uz_ref[k]
+            ns = ns_ref[k]
+            ii = ii_ref[k]
+
+            def sub(s, inner):
+                # (s*step)*dir, matching expand_segments' evaluation order.
+                sf = s.astype(jnp.float32) * lstep
+                lx = ax + sf * ux
+                ly = ay + sf * uy
+                lz = az + sf * uz
+                dx = px - lx
+                dy = py - ly
+                dz = pz - lz
+                d2 = dx * dx + dy * dy + dz * dz
+                if sphere:
+                    dist = jnp.sqrt(d2)
+                    dd = dist - radius
+                    d2e = dd * dd
+                    bad = (d2e < GUARD) | (dist == 0.0)
+                else:
+                    d2e = d2
+                    bad = d2e < GUARD
+                return inner + jnp.where(
+                    bad, 0.0, ii / jnp.maximum(d2e, GUARD)
+                )
+
+            return jax.lax.fori_loop(0, ns, sub, acc)
+
+        o_ref[:] = w_ref[:] * jax.lax.fori_loop(
+            start, start + count, seg, jnp.zeros_like(o_ref)
+        )
+
+
+def _segment_kernel(meta_ref, ax_ref, ay_ref, az_ref, ux_ref, uy_ref,
+                    uz_ref, ll_ref, ii_ref, active_ref, px_ref, py_ref,
                     pz_ref, w_ref, o_ref):
     """Analytic VRL: closed-form line integral per (sample, segment).
 
@@ -164,7 +246,8 @@ def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
     fewer terms at default lightRayStepSize.  Approximation mode (not
     bit-parity): it is the h->0 limit of the reference's sum.
 
-    lights_ref rows: [ax, ay, az, ux, uy, uz, L, I/(4 pi L)].
+    Segment columns as 1-D SMEM arrays: ax, ay, az, ux, uy, uz, L,
+    I/(4 pi L).
     """
     i = pl.program_id(0)
 
@@ -179,14 +262,14 @@ def _segment_kernel(meta_ref, lights_ref, active_ref, px_ref, py_ref,
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
 
         def seg(k, acc):
-            ax = lights_ref[k, 0]
-            ay = lights_ref[k, 1]
-            az = lights_ref[k, 2]
-            ux = lights_ref[k, 3]
-            uy = lights_ref[k, 4]
-            uz = lights_ref[k, 5]
-            ll = lights_ref[k, 6]
-            ii = lights_ref[k, 7]
+            ax = ax_ref[k]
+            ay = ay_ref[k]
+            az = az_ref[k]
+            ux = ux_ref[k]
+            uy = uy_ref[k]
+            uz = uz_ref[k]
+            ll = ll_ref[k]
+            ii = ii_ref[k]
             dx = px - ax
             dy = py - ay
             dz = pz - az
@@ -225,9 +308,7 @@ def gather_vpu(
     M = px.shape[0]
     assert M % TILE_M == 0, M
     L = l_pos.shape[0]
-    lights = jnp.concatenate(
-        [l_pos, (l_int * jnp.float32(1.0 / FOUR_PI))[:, None]], axis=1
-    )  # (L, 4)
+    li = l_int * jnp.float32(1.0 / FOUR_PI)
     meta = jnp.stack(
         [jnp.asarray(start, jnp.int32), jnp.asarray(count, jnp.int32)]
     )
@@ -235,19 +316,11 @@ def gather_vpu(
     spec = lambda: pl.BlockSpec(
         (TILE_M, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(_kernel, sphere=sphere),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # radius (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
-            spec(),
-            spec(),
-            spec(),
-            spec(),
-        ],
+        in_specs=[smem()] * 7 + [spec()] * 4,
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
         interpret=interpret,
@@ -259,12 +332,96 @@ def gather_vpu(
     )(
         meta,
         jnp.asarray(radius, jnp.float32).reshape(1),
-        lights,
+        l_pos[:, 0],
+        l_pos[:, 1],
+        l_pos[:, 2],
+        li,
         block_active,
         px,
         py,
         pz,
         wm,
+    )
+
+
+def gather_segments_discrete(
+    px,
+    py,
+    pz,
+    wm,
+    block_active,
+    pos_from,
+    pos_to,
+    intensity,
+    valid,
+    light_ray_step_size,
+    *,
+    sphere_radius: float | None = None,
+    interpret: bool = False,
+):
+    """Reference-parity discrete segment gather, sub-lights iterated
+    in-kernel (see _segment_discrete_kernel).  Bit-equal to the
+    expand_segments + gather_vpu pipeline whenever the latter's caps don't
+    bind, and exact (uncapped) beyond them.
+
+    px/py/pz/wm: (M, 128) planes; segments: (L,) arrays with a contiguous
+    valid range.  ``sphere_radius=None`` -> Ray (point sub-lights),
+    otherwise Beam (sphere sub-lights of that radius).
+    Returns (M, 128) WEIGHTED radiance sums.
+    """
+    M = px.shape[0]
+    assert M % TILE_M == 0, M
+    seg = pos_to - pos_from
+    length = jnp.linalg.norm(seg, axis=-1)
+    safe_len = jnp.where(length > 0, length, 1.0)
+    u = seg / safe_len[:, None]
+    # floor(len/step) with f32 division + int cast — identical to
+    # expand_segments (ray_compute_color.comp:15 uint semantics).
+    steps = (length / light_ray_step_size).astype(jnp.int32)
+    live = valid & (steps > 0)
+    ns = jnp.where(live, steps, 0)
+    # Two-step I/steps then *1/(4 pi), matching the expansion pipeline's
+    # float evaluation order exactly.
+    ii = (
+        intensity / jnp.maximum(steps, 1).astype(jnp.float32)
+    ) * jnp.float32(1.0 / FOUR_PI)
+    ii = jnp.where(live, ii, 0.0)
+    valid_i = valid.astype(jnp.int32)
+    meta = jnp.stack([jnp.argmax(valid_i), jnp.sum(valid_i)])
+    scal = jnp.stack([
+        jnp.asarray(light_ray_step_size, jnp.float32),
+        jnp.asarray(
+            0.0 if sphere_radius is None else sphere_radius, jnp.float32
+        ),
+    ])
+    grid = (M // TILE_M,)
+    spec = lambda: pl.BlockSpec(
+        (TILE_M, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    L = pos_from.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _segment_discrete_kernel, sphere=sphere_radius is not None
+        ),
+        grid=grid,
+        in_specs=[smem()] * 11 + [spec()] * 4,
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # Scheduling hint only: assume ~32 sub-lights per segment.
+            flops=10 * M * 128 * max(L, 1) * 32,
+            bytes_accessed=4 * M * 128 * 4,
+            transcendentals=(
+                (M * 128 * L * 32) if sphere_radius is not None else 0
+            ),
+        ),
+    )(
+        meta, scal,
+        pos_from[:, 0], pos_from[:, 1], pos_from[:, 2],
+        u[:, 0], u[:, 1], u[:, 2], ns, ii,
+        block_active, px, py, pz, wm,
     )
 
 
@@ -305,29 +462,23 @@ def gather_segments_analytic(
         intensity / (jnp.float32(FOUR_PI) * safe_len),
         0.0,
     )
-    lights = jnp.concatenate(
-        [pos_from, u, length[:, None], ii[:, None]], axis=1
-    )  # (L, 8)
+    cols = (
+        pos_from[:, 0], pos_from[:, 1], pos_from[:, 2],
+        u[:, 0], u[:, 1], u[:, 2], length, ii,
+    )
     valid_i = valid.astype(jnp.int32)
     meta = jnp.stack([jnp.argmax(valid_i), jnp.sum(valid_i)])
     grid = (M // TILE_M,)
     spec = lambda: pl.BlockSpec(
         (TILE_M, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     L = pos_from.shape[0]
     if sphere_radius is None:
         return pl.pallas_call(
             _segment_kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
-                spec(),
-                spec(),
-                spec(),
-                spec(),
-            ],
+            in_specs=[smem()] * 10 + [spec()] * 4,
             out_specs=spec(),
             out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
             interpret=interpret,
@@ -336,20 +487,11 @@ def gather_segments_analytic(
                 bytes_accessed=4 * M * 128 * 4,
                 transcendentals=2 * M * 128 * L,
             ),
-        )(meta, lights, block_active, px, py, pz, wm)
+        )(meta, *cols, block_active, px, py, pz, wm)
     return pl.pallas_call(
         functools.partial(_segment_sphere_kernel, nodes=quad_nodes),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (2,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # radius (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights (L, 8)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # block_active
-            spec(),
-            spec(),
-            spec(),
-            spec(),
-        ],
+        in_specs=[smem()] * 11 + [spec()] * 4,
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((M, 128), jnp.float32),
         interpret=interpret,
@@ -361,7 +503,7 @@ def gather_segments_analytic(
     )(
         meta,
         jnp.asarray(sphere_radius, jnp.float32).reshape(1),
-        lights,
+        *cols,
         block_active,
         px,
         py,

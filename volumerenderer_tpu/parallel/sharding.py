@@ -254,7 +254,7 @@ def build_view_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("algorithm", "config", "max_steps", "mesh"),
+    static_argnames=("algorithm", "config", "max_steps", "mesh", "n_frames"),
     donate_argnames=("state",),
 )
 def sharded_shade_step(
@@ -267,47 +267,60 @@ def sharded_shade_step(
     config: StaticConfig,
     max_steps: int,
     mesh: Mesh,
+    n_frames: int = 1,
 ) -> RenderState:
-    """One cached multi-chip frame: every device regenerates the (tiny)
-    photon walk, shades ITS row band from ITS baked view shard, and — when
-    the mesh has a 'lights' axis — gathers only its light shard, combining
-    partial radiance with one psum over ICI."""
+    """``n_frames`` cached multi-chip frames in ONE dispatch: every device
+    regenerates the (tiny) photon walks of all frames up front (vmapped,
+    like engine.step.render_steps_cached), shades ITS row band from ITS
+    baked view shard frame by frame (lax.fori_loop), and — when the mesh
+    has a 'lights' axis — gathers only its light shard, combining partial
+    radiance with one psum over ICI per frame.  Single-dispatch batching
+    amortizes the per-launch round-trip exactly like the single-chip path
+    (the reference's MAX_FRAMES_IN_FLIGHT analogue, src/main.cpp:44)."""
     n_rows_shards = mesh.shape["rows"]
     n_light_shards = mesh.shape.get("lights", 1)
     local_rows = config.height // n_rows_shards
-    frame_count = state.frame_count + 1
 
-    def body(accum_local, frame_count, va, grid, params):
-        lights = photon.generate_lights(
-            grid, params, frame_count, config, max_steps=max_steps
-        )
+    def body(accum_local, frame_count0, va, grid, params):
+        fcs = frame_count0 + 1 + jnp.arange(n_frames, dtype=jnp.int32)
+        lights_batch = jax.vmap(
+            lambda fc: photon.generate_lights(
+                grid, params, fc, config, max_steps=max_steps
+            )
+        )(fcs)
         view = color_mod.ViewCache(
             wx=va["wx"], wy=va["wy"], wz=va["wz"], weight=va["weight"],
             n_rays=local_rows * config.width, rows=local_rows,
         )
-        if n_light_shards > 1:
-            li = jax.lax.axis_index("lights")
-            L = config.light_capacity
-            shard = L // n_light_shards
-            slot = jnp.arange(L)
-            mine = (slot >= li * shard) & (slot < (li + 1) * shard)
-            my_lights = lights._replace(valid=lights.valid & mine)
-            raw = color_mod.shade_view(
-                grid, view, params, my_lights, algorithm, config,
-                normalize=False,
+
+        def frame_body(i, accum_local):
+            fc = fcs[i]
+            lights = jax.tree.map(lambda x: x[i], lights_batch)
+            if n_light_shards > 1:
+                li = jax.lax.axis_index("lights")
+                L = config.light_capacity
+                shard = L // n_light_shards
+                slot = jnp.arange(L)
+                mine = (slot >= li * shard) & (slot < (li + 1) * shard)
+                my_lights = lights._replace(valid=lights.valid & mine)
+                raw = color_mod.shade_view(
+                    grid, view, params, my_lights, algorithm, config,
+                    normalize=False,
+                )
+                total = jax.lax.psum(raw, "lights")
+                denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+                frame = jnp.clip(total / denom, 0.0, 1.0)
+            else:
+                frame = color_mod.shade_view(
+                    grid, view, params, lights, algorithm, config
+                )
+            accum_local = jnp.where(fc == 1, 0.0, accum_local)
+            return accumulate(
+                accum_local, frame, fc,
+                quantize_u8=config.accum_dtype == "uint8",
             )
-            total = jax.lax.psum(raw, "lights")
-            denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
-            frame = jnp.clip(total / denom, 0.0, 1.0)
-        else:
-            frame = color_mod.shade_view(
-                grid, view, params, lights, algorithm, config
-            )
-        accum_local = jnp.where(frame_count == 1, 0.0, accum_local)
-        return accumulate(
-            accum_local, frame, frame_count,
-            quantize_u8=config.accum_dtype == "uint8",
-        )
+
+        return jax.lax.fori_loop(0, n_frames, frame_body, accum_local)
 
     view_specs = dict(
         wx=P("rows"), wy=P("rows"), wz=P("rows"), weight=P("rows")
@@ -318,13 +331,22 @@ def sharded_shade_step(
         in_specs=(P("rows", None), P(), view_specs, P(), P()),
         out_specs=P("rows", None),
         check_vma=False,
-    )(state.accum, frame_count, view_arrays, grid, params)
-    return RenderState(accum=new_accum, frame_count=frame_count)
+    )(state.accum, state.frame_count, view_arrays, grid, params)
+    return RenderState(
+        accum=new_accum, frame_count=state.frame_count + n_frames
+    )
 
 
 class MeshRenderer:
     """Multi-chip interactive session: the Renderer equivalent over a device
-    mesh — view baked per device once, then cached sharded frames."""
+    mesh — view baked per device once, then cached sharded frames batched
+    ``frame_batch`` per dispatch.  The baked view tracks the same dependency
+    key as the single-chip Renderer (camera/march params), so parameter
+    edits after the first step re-bake instead of silently shading a stale
+    march."""
+
+    # Cached frames per dispatch (launch round-trip amortization).
+    frame_batch: int = 8
 
     def __init__(self, grid, mesh: Mesh, config: StaticConfig,
                  params: RenderParams, algorithm: Algorithm,
@@ -347,6 +369,32 @@ class MeshRenderer:
             accum=shard_rows(mesh, self.state.accum)
         )
         self._view = None
+        self._view_key = None
+
+    def _march_key(self):
+        """Fields the baked march depends on (mirrors Renderer._current_view)."""
+        import numpy as np
+
+        return (
+            tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
+            tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
+            float(self.params.fov),
+            float(self.params.ray_max_distance),
+            float(self.params.ray_marching_step_size),
+            float(self.params.absorption_coefficient),
+            self.gather_samples,
+        )
+
+    def _current_view(self):
+        key = self._march_key()
+        if self._view is None or key != self._view_key:
+            self._view = build_view_sharded(
+                self.grid, self.params, config=self.config,
+                max_steps=self.max_steps, mesh=self.mesh,
+                gather_samples=self.gather_samples,
+            )
+            self._view_key = key
+        return self._view
 
     def step(self, n: int = 1) -> RenderState:
         if self.algorithm is Algorithm.PATH:
@@ -360,16 +408,14 @@ class MeshRenderer:
                     gather_samples=self.gather_samples,
                 )
             return self.state
-        if self._view is None:
-            self._view = build_view_sharded(
-                self.grid, self.params, config=self.config,
-                max_steps=self.max_steps, mesh=self.mesh,
-                gather_samples=self.gather_samples,
-            )
-        for _ in range(n):
+        view = self._current_view()
+        remaining = n
+        while remaining > 0:
+            k = self.frame_batch if remaining >= self.frame_batch else 1
             self.state = sharded_shade_step(
-                self.grid, self.params, self.state, self._view,
+                self.grid, self.params, self.state, view,
                 algorithm=self.algorithm, config=self.config,
-                max_steps=self.max_steps, mesh=self.mesh,
+                max_steps=self.max_steps, mesh=self.mesh, n_frames=k,
             )
+            remaining -= k
         return self.state

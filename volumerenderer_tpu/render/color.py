@@ -85,6 +85,67 @@ def _expanded_lights(lights: LightArray, params, algorithm, config):
 
 
 @struct.dataclass
+class CompactView:
+    """Globally compacted baked march: ONLY the nonzero-weight samples.
+
+    A ViewCache's (Np, C) planes are overwhelmingly zeros (rays that miss
+    the volume, empty voxels, samples past the transmittance cutoff — e.g.
+    ~19% nonzero at the 1080p bench config), and the gather kernels' whole-
+    block skipping only removes blocks where ALL 65536 samples are zero.
+    Compacting the nonzero samples into a dense prefix (order-preserving
+    rank scatter, the same shape as ops.lights.compact_valid) makes every
+    kernel block ~100% real work — ~3x fewer sample blocks for EVERY gather
+    algorithm at identical semantics; per-ray radiance comes back via a
+    sorted segment-sum over the baked ray ids (t-ascending within each ray,
+    closer to the reference's own summation order than top-k order).
+    """
+
+    wx: jax.Array  # (Mc, 128) world-space sample x coords
+    wy: jax.Array  # (Mc, 128)
+    wz: jax.Array  # (Mc, 128)
+    weight: jax.Array  # (Mc, 128) gather weights (zero = padding slot)
+    ray_id: jax.Array  # (Mc, 128) i32 pixel index of each sample
+    n_rays: int = struct.field(pytree_node=False)
+    rows: int = struct.field(pytree_node=False)
+
+
+def compact_view(view: ViewCache, capacity: int) -> CompactView:
+    """Pack the nonzero-weight samples of ``view`` into ``capacity`` slots
+    (multiple of 128).  Exact whenever capacity >= the nonzero count
+    (engine.session auto-sizes it from the march probe); overflow would be
+    dropped deterministically (trailing samples first)."""
+    assert capacity % 128 == 0, capacity
+    Np, C = view.weight.shape
+    flat = lambda a: a.reshape(-1)
+    mask = flat(view.weight) != 0.0
+    rank = jnp.cumsum(mask.astype(jnp.int32))
+    keep = mask & (rank <= capacity)
+    dest = jnp.where(keep, rank - 1, capacity)  # capacity -> dropped
+
+    def scatter(src, dtype=jnp.float32):
+        return (
+            jnp.zeros((capacity,), dtype).at[dest].set(flat(src), mode="drop")
+        )
+
+    ray = jnp.arange(Np * C, dtype=jnp.int32) // C
+    # Padding slots keep ray_id = n_rays - 1 so the kept ids stay sorted
+    # (their weight is 0, so they add nothing to that ray).
+    ray_id = jnp.full((capacity,), view.n_rays - 1, jnp.int32).at[dest].set(
+        ray, mode="drop"
+    )
+    shape = lambda a: a.reshape(capacity // 128, 128)
+    return CompactView(
+        wx=shape(scatter(view.wx)),
+        wy=shape(scatter(view.wy)),
+        wz=shape(scatter(view.wz)),
+        weight=shape(scatter(view.weight)),
+        ray_id=shape(ray_id),
+        n_rays=view.n_rays,
+        rows=view.rows,
+    )
+
+
+@struct.dataclass
 class ViewCache:
     """Baked march for a fixed (camera, volume, step/absorption) view.
 
@@ -228,6 +289,23 @@ def shade_view(
                 params.beam_radius if algorithm is Algorithm.BEAM else None
             ),
             quad_nodes=config.beam_quadrature_nodes,
+        )
+    elif (
+        algorithm in (Algorithm.RAY, Algorithm.BEAM)
+        and config.segment_mode == "discrete"
+    ):
+        # Reference-parity discrete sub-light sum, iterated in-kernel from
+        # the raw segment table — uncapped, no HBM expansion
+        # (ray_compute_color.comp:11-24 / beam_compute_color.comp:11-24).
+        weighted = gather_ops.gather_segments_discrete(
+            view.wx, view.wy, view.wz, view.weight,
+            lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
+            params.light_ray_step_size,
+            sphere_radius=(
+                params.beam_radius if algorithm is Algorithm.BEAM else None
+            ),
+            impl=config.gather_impl,
+            max_points_per_segment=config.max_points_per_segment,
         )
     else:
         l_pos, l_int, l_valid = _expanded_lights(
