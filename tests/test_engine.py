@@ -175,3 +175,24 @@ def test_camera_rotation_extension():
     img = r_rot.image()
     assert np.isfinite(img).all() and img.max() > 0
     assert not np.allclose(img, base)
+
+
+def test_compact_view_exact_and_matches_plain_view():
+    """The globally compacted view (probe -> exact top-k -> rank scatter)
+    is a pure re-layout: same image as the uncompacted cache, and the
+    session reports exactness (no ray exceeded the auto-sized C)."""
+    import dataclasses
+
+    from volumerenderer_tpu.render.color import CompactView
+
+    for algo in (Algorithm.POINT, Algorithm.RAY):
+        r_compact = small_renderer(algorithm=algo)
+        assert r_compact.config.compact_view
+        r_plain = small_renderer(algorithm=algo)
+        r_plain.config = dataclasses.replace(r_plain.config, compact_view=False)
+        r_compact.step(3)
+        r_plain.step(3)
+        assert isinstance(r_compact._view, CompactView)
+        assert r_compact.view_exact
+        np.testing.assert_allclose(
+            r_compact.image(), r_plain.image(), rtol=1e-5, atol=1e-7)

@@ -104,6 +104,13 @@ class StaticConfig:
     max_points_per_segment: int = 512  # Ray/Beam sub-light cap per segment
     expanded_light_capacity: int = 16384  # compacted Ray/Beam sub-light slots
     gather_samples: int = 256  # top-k march samples kept per ray (0 = all)
+    # Globally compact the baked view to its nonzero-weight samples
+    # (render.color.CompactView): engine.session probes the march once per
+    # view rebuild, auto-sizes the per-ray cap C = max nonzero samples
+    # (<= gather_samples cap, exact when it fits) and the compact capacity
+    # = true nonzero count. ~3-5x fewer shade-kernel blocks at the 1080p
+    # bench config for every gather algorithm.
+    compact_view: bool = True
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)

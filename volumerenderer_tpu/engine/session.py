@@ -28,6 +28,8 @@ from .params import Algorithm, RenderParams, StaticConfig
 from .state import RenderState
 from .step import (
     build_view_step,
+    compact_view_step,
+    probe_view_step,
     render_step,
     render_step_cached,
     render_steps_cached,
@@ -147,14 +149,44 @@ class Renderer:
         )
         if key != self._view_key:
             clip_box, view_steps = self._occupied_clip()
-            self._view = build_view_step(
-                self.grid,
-                self.params,
-                clip_box,
-                config=self.config,
-                max_steps=min(max_steps, view_steps),
-                gather_samples=self.gather_samples,
-            )
+            steps = min(max_steps, view_steps)
+            if self.config.compact_view:
+                # Probe the march once: C = max nonzero samples per ray
+                # (exact top-k when it fits under the gather_samples cap),
+                # row capacity = true hit-ray count (exact compaction).
+                mx, _total, hits = probe_view_step(
+                    self.grid, self.params, clip_box,
+                    config=self.config, max_steps=steps,
+                )
+                mx, hits = int(mx), int(hits)
+                cap = self.gather_samples if self.gather_samples else steps
+                # Quantize the static sizes so small camera moves reuse
+                # compiled steps instead of recompiling per rebuild.
+                C = min(max(1, -(-min(mx, cap, steps) // 16) * 16), steps)
+                # Exactness flag: False only when a ray has more nonzero
+                # samples than the gather_samples cap allows.
+                self.view_exact = mx <= C
+                view = build_view_step(
+                    self.grid, self.params, clip_box,
+                    config=self.config, max_steps=steps,
+                    gather_samples=C if C < steps else 0,
+                )
+                quantum = 1024
+                capacity = max(quantum, -(-hits // quantum) * quantum)
+                self._view = compact_view_step(view, capacity=capacity)
+            else:
+                self.view_exact = (
+                    self.gather_samples == 0
+                    or self.gather_samples >= steps
+                )
+                self._view = build_view_step(
+                    self.grid,
+                    self.params,
+                    clip_box,
+                    config=self.config,
+                    max_steps=steps,
+                    gather_samples=self.gather_samples,
+                )
             self._view_key = key
         return self._view
 

@@ -94,6 +94,31 @@ def build_view_step(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("config", "max_steps"),
+)
+def probe_view_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box=None,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+):
+    """March statistics pre-pass (render.color.probe_view): (max nonzero
+    samples on any ray, total nonzero) — sizes the exact view cache."""
+    return color_mod.probe_view(
+        grid, params, config, max_steps, clip_box=clip_box
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_view_step(view, *, capacity: int):
+    """Globally compact a baked view (render.color.compact_view)."""
+    return color_mod.compact_view(view, capacity)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("algorithm", "config", "max_steps"),
     donate_argnames=("state",),
 )
@@ -149,6 +174,11 @@ def render_steps_cached(
     n_frames x 16 photons — each frame's walk is independent (pure function
     of its frame counter), and batching turns 16-wide sequential walks into
     one wide parallel walk.
+
+    With a CompactView the whole batch ACCUMULATES IN COMPACT SPACE: each
+    frame updates only the (Rc,) hit-ray vector and one image-space
+    expansion runs at batch end — the miss pixels' progressive average of
+    all-zero frames collapses to a single scale by m/(m+n).
     """
     fcs = state.frame_count + 1 + jnp.arange(n_frames, dtype=jnp.int32)
     lights_batch = jax.vmap(
@@ -156,6 +186,40 @@ def render_steps_cached(
             grid, params, fc, config, max_steps=max_steps
         )
     )(fcs)
+
+    if (
+        isinstance(view, color_mod.CompactView)
+        and config.accum_dtype != "uint8"
+    ):
+        H, W = config.height, config.width
+        m = state.frame_count
+        accum_flat = state.accum.reshape(-1)
+        accum_c = jnp.take(accum_flat, view.src, mode="clip")
+
+        def body_c(i, accum_c):
+            fc = fcs[i]
+            lights = jax.tree.map(lambda x: x[i], lights_batch)
+            frame_c = color_mod.shade_view_compact(
+                grid, view, params, lights, algorithm, config
+            )
+            accum_c = jnp.where(fc == 1, 0.0, accum_c)
+            return accumulate(accum_c, frame_c, fc)
+
+        accum_c = jax.lax.fori_loop(0, n_frames, body_c, accum_c)
+        fc_end = m + n_frames
+        # Miss pixels averaged zero frames: mean_n = mean_m * m/n (exactly
+        # 0 if a clear happened, i.e. m == 0).
+        factor = jnp.where(
+            m == 0, 0.0, m.astype(jnp.float32) / fc_end.astype(jnp.float32)
+        )
+        expanded = color_mod.expand_compact_colors(accum_c, view)
+        hit = (view.inv_map < view.src.shape[0])[: view.n_rays]
+        new_flat = jnp.where(hit, expanded, accum_flat * factor)
+        lights = jax.tree.map(lambda x: x[n_frames - 1], lights_batch)
+        return (
+            RenderState(accum=new_flat.reshape(H, W), frame_count=fc_end),
+            lights,
+        )
 
     def body(i, carry):
         accum, _fc, _lights = carry

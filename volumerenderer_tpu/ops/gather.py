@@ -125,20 +125,22 @@ def gather_planes(
     radius=0.0,
     impl: str = "auto",
     center=None,
+    layout: str = "slots",
+    lane_need=None,
 ):
-    """Gather over SoA world-coordinate planes px/py/pz (each (R, C)).
+    """Gather over SoA world-coordinate planes px/py/pz.
 
-    ``weight`` (R, C) scales each sample's contribution; whole blocks of
-    zero weight are skipped by the TPU kernels and the multiply is folded
-    into the kernel epilogue.  Requires the valid light slots to form one
-    contiguous range (true for photon lights, compacted segment expansions,
-    and light-axis shards).  Returns (R, C) WEIGHTED radiance sums
-    (weight * sum over lights).
+    ``layout="slots"``: planes are (R, C) per-ray sample rows; returns
+    (R, C) WEIGHTED radiance sums (weight * sum over lights), whole zero
+    blocks skipped by the TPU kernels.
+    ``layout="lanes"``: planes are transposed (Cp, Rc) lane-per-ray
+    (render.color.CompactView); returns (Rc,) per-ray sums
+    ``sum_samples(w * sum_lights)`` reduced inside the kernel.
+    Requires the valid light slots to form one contiguous range (true for
+    photon lights, compacted segment expansions, and light-axis shards).
     """
     from .pallas import gather_vpu as vpu_mod
 
-    R, C = px.shape
-    N = R * C
     interpret = impl.endswith("_interpret")
     base = impl.replace("_interpret", "")
     if base == "auto":
@@ -147,29 +149,40 @@ def gather_planes(
     if base == "vpu" and L > vpu_mod.SMEM_LIGHT_LIMIT:
         base = "mxu"
 
-    if base == "xla":
+    if base in ("xla", "mxu"):
         samples = jnp.stack(
             [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
         )
-        return weight * gather_xla(
-            samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius
-        ).reshape(R, C)
-    if base == "mxu":
-        samples = jnp.stack(
-            [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
-        )
-        from .pallas.gather_kernel import gather_mxu
+        if base == "xla":
+            rad = gather_xla(
+                samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius
+            )
+        else:
+            from .pallas.gather_kernel import gather_mxu
 
-        return weight * gather_mxu(
-            samples, l_pos, l_int, l_valid, sphere=sphere, radius=radius,
-            center=center, interpret=interpret,
-        ).reshape(R, C)
+            rad = gather_mxu(
+                samples, l_pos, l_int, l_valid, sphere=sphere,
+                radius=radius, center=center, interpret=interpret,
+            )
+        weighted = weight * rad.reshape(px.shape)
+        if layout == "lanes":
+            return jnp.sum(weighted, axis=0)
+        return weighted
 
-    # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
-    pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     valid_i = l_valid.astype(jnp.int32)
     count = jnp.sum(valid_i)
     start = jnp.argmax(valid_i)  # first valid slot (0 if none; count==0 then)
+    if layout == "lanes":
+        from .pallas import gather_lanes as lanes_mod
+
+        return lanes_mod.gather_lanes(
+            px, py, pz, weight, l_pos, l_int, start, count,
+            sphere=sphere, radius=radius, lane_need=lane_need,
+            interpret=interpret,
+        )
+    # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
+    R, C = px.shape
+    pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_vpu(
         pxm, pym, pzm, wm, block_active, l_pos, l_int, start, count,
         sphere=sphere, radius=radius, interpret=interpret,
@@ -272,6 +285,8 @@ def gather_segments_discrete(
     light_ray_step_size,
     *, sphere_radius=None, impl: str = "auto",
     max_points_per_segment: int = 512,
+    layout: str = "slots",
+    lane_need=None,
 ):
     """Reference-parity discrete Ray/VRL / Beam/VBL gather over SoA planes.
 
@@ -279,12 +294,12 @@ def gather_segments_discrete(
     table — no HBM expansion, no per-segment or total sub-light caps
     (the caps/truncation of the old expansion pipeline are gone; see
     gather_vpu._segment_discrete_kernel).  ``impl='xla'`` selects the
-    independent capped expansion path (test oracle).  Returns (R, C)
-    WEIGHTED radiance sums.
+    independent capped expansion path (test oracle).  ``layout`` as in
+    gather_planes: "slots" -> (R, C) weighted sums, "lanes" -> (Rc,)
+    per-ray sums.
     """
     from .pallas import gather_vpu as vpu_mod
 
-    R, C = px.shape
     interpret = impl.endswith("_interpret")
     base = impl.replace("_interpret", "")
     if base in ("auto", "mxu", "vpu"):
@@ -302,7 +317,19 @@ def gather_segments_discrete(
             light_ray_step_size, sphere_radius=sphere_radius,
             max_points_per_segment=max_points_per_segment,
         )
-        return weight * out.reshape(R, C)
+        weighted = weight * out.reshape(px.shape)
+        if layout == "lanes":
+            return jnp.sum(weighted, axis=0)
+        return weighted
+    if layout == "lanes":
+        from .pallas import gather_lanes as lanes_mod
+
+        return lanes_mod.gather_segments_discrete_lanes(
+            px, py, pz, weight, pos_from, pos_to, intensity, valid,
+            light_ray_step_size, sphere_radius=sphere_radius,
+            lane_need=lane_need, interpret=interpret,
+        )
+    R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_discrete(
         pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
@@ -314,15 +341,16 @@ def gather_segments_discrete(
 def gather_segments(
     px, py, pz, weight, pos_from, pos_to, intensity, valid,
     *, impl: str = "auto", sphere_radius=None, quad_nodes: int = 16,
+    layout: str = "slots", lane_need=None,
 ):
     """Analytic (VRL) / quadrature (VBL) segment gather over SoA planes.
 
     ``sphere_radius=None`` -> closed-form point-sub-light line integral;
     otherwise the ``quad_nodes``-point sphere-light quadrature.
-    Returns (R, C) WEIGHTED radiance (weight folded into the kernel)."""
+    ``layout`` as in gather_planes: "slots" -> (R, C) weighted radiance
+    (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums."""
     from .pallas import gather_vpu as vpu_mod
 
-    R, C = px.shape
     interpret = impl.endswith("_interpret")
     base = impl.replace("_interpret", "")
     if base in ("auto", "mxu", "vpu"):
@@ -340,7 +368,19 @@ def gather_segments(
                 samples, pos_from, pos_to, intensity, valid, sphere_radius,
                 quad_nodes,
             )
-        return weight * out.reshape(R, C)
+        weighted = weight * out.reshape(px.shape)
+        if layout == "lanes":
+            return jnp.sum(weighted, axis=0)
+        return weighted
+    if layout == "lanes":
+        from .pallas import gather_lanes as lanes_mod
+
+        return lanes_mod.gather_segments_analytic_lanes(
+            px, py, pz, weight, pos_from, pos_to, intensity, valid,
+            sphere_radius=sphere_radius, quad_nodes=quad_nodes,
+            lane_need=lane_need, interpret=interpret,
+        )
+    R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_analytic(
         pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,

@@ -86,63 +86,98 @@ def _expanded_lights(lights: LightArray, params, algorithm, config):
 
 @struct.dataclass
 class CompactView:
-    """Globally compacted baked march: ONLY the nonzero-weight samples.
+    """Ray-compacted baked march in lane-per-ray layout.
 
-    A ViewCache's (Np, C) planes are overwhelmingly zeros (rays that miss
-    the volume, empty voxels, samples past the transmittance cutoff — e.g.
-    ~19% nonzero at the 1080p bench config), and the gather kernels' whole-
-    block skipping only removes blocks where ALL 65536 samples are zero.
-    Compacting the nonzero samples into a dense prefix (order-preserving
-    rank scatter, the same shape as ops.lights.compact_valid) makes every
-    kernel block ~100% real work — ~3x fewer sample blocks for EVERY gather
-    algorithm at identical semantics; per-ray radiance comes back via a
-    sorted segment-sum over the baked ray ids (t-ascending within each ray,
-    closer to the reference's own summation order than top-k order).
+    At the 1080p bench config ~78% of pixels never see nonzero density,
+    yet the plain ViewCache feeds their (all-zero) sample rows through the
+    shade kernels, whose whole-block skipping removes only blocks where ALL
+    65536 samples are zero.  Compacting the HIT rays into a dense prefix
+    makes nearly every kernel block real work.
+
+    Layout: planes are stored TRANSPOSED as (Cp, Rc) — each VPU lane one
+    ray, each sublane one sample (ops.pallas.gather_lanes).  The kernels
+    reduce over the sample axis internally and emit the compact per-ray
+    color vector directly, so a frame does no relayout, no scatter, and no
+    segment reduction (TPU scatters measured 15x the whole kernel's cost).
+    Expansion back to the image is one baked GATHER (``inv_map``), and the
+    engine amortizes even that by accumulating in compact space.
     """
 
-    wx: jax.Array  # (Mc, 128) world-space sample x coords
-    wy: jax.Array  # (Mc, 128)
-    wz: jax.Array  # (Mc, 128)
-    weight: jax.Array  # (Mc, 128) gather weights (zero = padding slot)
-    ray_id: jax.Array  # (Mc, 128) i32 pixel index of each sample
+    wx: jax.Array  # (Cp, Rc) world-space sample x coords, lane = hit ray
+    wy: jax.Array  # (Cp, Rc)
+    wz: jax.Array  # (Cp, Rc)
+    weight: jax.Array  # (Cp, Rc) gather weights (zero cols = padding)
+    inv_map: jax.Array  # (Np,) i32: compact lane of each image ray; Rc = miss
+    src: jax.Array  # (Rc,) i32: image ray of each compact lane (pad -> 0)
+    lane_need: jax.Array  # (Rc,) i32: samples each lane actually uses
     n_rays: int = struct.field(pytree_node=False)
     rows: int = struct.field(pytree_node=False)
 
 
-def compact_view(view: ViewCache, capacity: int) -> CompactView:
-    """Pack the nonzero-weight samples of ``view`` into ``capacity`` slots
-    (multiple of 128).  Exact whenever capacity >= the nonzero count
-    (engine.session auto-sizes it from the march probe); overflow would be
-    dropped deterministically (trailing samples first)."""
-    assert capacity % 128 == 0, capacity
+def compact_view(view: ViewCache, capacity_rays: int) -> CompactView:
+    """Pack the hit rays of ``view`` into ``capacity_rays`` lanes (multiple
+    of gather_lanes.TILE_L).  Exact whenever capacity_rays >= the hit-ray
+    count (engine.session auto-sizes it from the march probe); overflow
+    rays would drop deterministically (bottom rows first) to black."""
+    from ..ops.pallas.gather_lanes import TILE_L
+
+    assert capacity_rays % TILE_L == 0, capacity_rays
     Np, C = view.weight.shape
-    flat = lambda a: a.reshape(-1)
-    mask = flat(view.weight) != 0.0
-    rank = jnp.cumsum(mask.astype(jnp.int32))
-    keep = mask & (rank <= capacity)
-    dest = jnp.where(keep, rank - 1, capacity)  # capacity -> dropped
-
-    def scatter(src, dtype=jnp.float32):
-        return (
-            jnp.zeros((capacity,), dtype).at[dest].set(flat(src), mode="drop")
+    nz = view.weight != 0.0
+    hit = jnp.any(nz, axis=-1)
+    # Samples a lane actually needs: last nonzero index + 1 (a PREFIX when
+    # build_view used top_k — weights sorted descending — but computed
+    # robustly for t-ordered weights too).
+    need = jnp.where(
+        hit, C - jnp.argmax(nz[:, ::-1], axis=-1), 0
+    ).astype(jnp.int32)
+    # Order hit lanes by descending sample need so each kernel block's
+    # dynamic sample bound (max over its lanes) hugs the true work: the
+    # kernels skip whole trailing sublane slabs per block.  The ordering is
+    # invisible through src/inv_map.
+    order = jnp.argsort(-need, stable=True)  # misses (need 0) sink to end
+    rank_sorted = jnp.arange(Np, dtype=jnp.int32)
+    # position of each original ray in the sorted order:
+    pos = jnp.zeros((Np,), jnp.int32).at[order].set(rank_sorted)
+    n_hit = jnp.minimum(jnp.sum(hit.astype(jnp.int32)), capacity_rays)
+    keep = hit & (pos < capacity_rays)
+    # image ray of each compact lane (capacity may exceed Np on tiny views)
+    if capacity_rays > Np:
+        src = jnp.concatenate(
+            [order, jnp.zeros((capacity_rays - Np,), order.dtype)]
         )
-
-    ray = jnp.arange(Np * C, dtype=jnp.int32) // C
-    # Padding slots keep ray_id = n_rays - 1 so the kept ids stay sorted
-    # (their weight is 0, so they add nothing to that ray).
-    ray_id = jnp.full((capacity,), view.n_rays - 1, jnp.int32).at[dest].set(
-        ray, mode="drop"
-    )
-    shape = lambda a: a.reshape(capacity // 128, 128)
+    else:
+        src = order[:capacity_rays]
+    lane_live = jnp.arange(capacity_rays) < n_hit
+    padC = (-C) % 8  # sublane quantum
+    def lanes(a, zero_dead=False):
+        rows = jnp.take(a, src, axis=0)
+        if zero_dead:
+            rows = jnp.where(lane_live[:, None], rows, 0.0)
+        if padC:
+            rows = jnp.pad(rows, ((0, 0), (0, padC)))
+        return rows.T
     return CompactView(
-        wx=shape(scatter(view.wx)),
-        wy=shape(scatter(view.wy)),
-        wz=shape(scatter(view.wz)),
-        weight=shape(scatter(view.weight)),
-        ray_id=shape(ray_id),
+        wx=lanes(view.wx),
+        wy=lanes(view.wy),
+        wz=lanes(view.wz),
+        weight=lanes(view.weight, zero_dead=True),
+        inv_map=jnp.where(keep, pos, capacity_rays),
+        src=jnp.where(lane_live, src, 0),
+        lane_need=jnp.where(
+            lane_live, jnp.take(need, src, axis=0), 0
+        ),
         n_rays=view.n_rays,
         rows=view.rows,
     )
+
+
+def expand_compact_colors(compact_colors: jax.Array, view: CompactView):
+    """(Rc,) compact per-ray values -> (n_rays,) image values (misses 0)."""
+    ext = jnp.concatenate(
+        [compact_colors, jnp.zeros((1,), compact_colors.dtype)]
+    )
+    return jnp.take(ext, view.inv_map, mode="clip")[: view.n_rays]
 
 
 @struct.dataclass
@@ -244,6 +279,11 @@ def build_view(
     Np = n_rays + pad
     reshape = lambda a: a.reshape(Np, C)
     wx, wy, wz, w = map(reshape, (wx, wy, wz, w))
+    # Padding rays (unit +z fillers) can legitimately hit the volume; their
+    # results are never read, so zero their weights — keeps shade blocks
+    # skippable and the compaction free of phantom samples.
+    if pad:
+        w = w.at[n_rays:].set(0.0)
     # The shade kernels want Np * C divisible by 128; pad rays with zero
     # weight (skipped blocks) to the next multiple of 128.
     pad2 = (-Np) % 128
@@ -252,6 +292,66 @@ def build_view(
         wx, wy, wz, w = map(pad_rows, (wx, wy, wz, w))
     return ViewCache(
         wx=wx, wy=wy, wz=wz, weight=w, n_rays=n_rays, rows=rows
+    )
+
+
+def probe_view(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    row_start=0,
+    num_rows: int | None = None,
+    clip_box=None,
+):
+    """March statistics without baking planes: (max nonzero gather samples
+    on any ray, total nonzero samples, rays with any nonzero sample).
+
+    One cheap pre-pass per view rebuild lets engine.session size the
+    ViewCache EXACTLY: top-k with C = per-ray max keeps every contributing
+    sample (zero compaction error, unlike a fixed C), and the CompactView
+    row capacity equals the true hit-ray count.
+    """
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    o_w, d_w = camera.camera_rays(
+        W, H, params.fov, params.camera_pos,
+        look_rotation=params.camera_rotation,
+        row_start=row_start, num_rows=rows,
+    )
+    o_i = grid.world_to_index(o_w.reshape(-1, 3))
+    d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
+    d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
+    n_rays = rows * W
+    tile = min(config.ray_tile, n_rays)
+    pad = (-n_rays) % tile
+    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+    d_i = jnp.concatenate(
+        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+    n_tiles = (n_rays + pad) // tile
+
+    def count_tile(inputs):
+        o, d = inputs
+        m = march_ops.march(
+            grid, o, d,
+            ray_max_distance=params.ray_max_distance,
+            step_size=params.ray_marching_step_size,
+            absorption=params.absorption_coefficient,
+            max_steps=max_steps,
+            interpolation=config.interpolation,
+            clip_box=clip_box,
+        )
+        return jnp.sum((m.weight != 0.0).astype(jnp.int32), axis=-1)
+
+    counts = jax.lax.map(
+        count_tile,
+        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
+    ).reshape(-1)[:n_rays]
+    return (
+        jnp.max(counts),
+        jnp.sum(counts),
+        jnp.sum((counts > 0).astype(jnp.int32)),
     )
 
 
@@ -274,6 +374,23 @@ def shade_view(
     chips before normalizing).
     """
     W = config.width
+    out = _ray_radiance(grid, view, params, lights, algorithm, config)
+    if isinstance(view, CompactView):
+        colors = expand_compact_colors(out, view)
+    else:
+        colors = jnp.sum(out, axis=-1)[: view.n_rays]
+
+    if not normalize:
+        return colors.reshape(view.rows, W)
+    denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+    return jnp.clip(colors / denom, 0.0, 1.0).reshape(view.rows, W)
+
+
+def _ray_radiance(grid, view, params, lights, algorithm, config):
+    """Weighted radiance for a baked view: (R, C) per-sample sums for a
+    ViewCache, (Rc,) per-ray sums for a CompactView (lane kernels)."""
+    layout = "lanes" if isinstance(view, CompactView) else "slots"
+    lane_need = view.lane_need if isinstance(view, CompactView) else None
     if (
         algorithm in (Algorithm.RAY, Algorithm.BEAM)
         and config.segment_mode == "analytic"
@@ -281,7 +398,7 @@ def shade_view(
         # Segment integral evaluated directly — no sub-light expansion
         # (ops.gather.gather_segments): closed form for Ray, fixed-node
         # quadrature for Beam's sphere lights.
-        weighted = gather_ops.gather_segments(
+        return gather_ops.gather_segments(
             view.wx, view.wy, view.wz, view.weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             impl=config.gather_impl,
@@ -289,15 +406,16 @@ def shade_view(
                 params.beam_radius if algorithm is Algorithm.BEAM else None
             ),
             quad_nodes=config.beam_quadrature_nodes,
+            layout=layout, lane_need=lane_need,
         )
-    elif (
+    if (
         algorithm in (Algorithm.RAY, Algorithm.BEAM)
         and config.segment_mode == "discrete"
     ):
         # Reference-parity discrete sub-light sum, iterated in-kernel from
         # the raw segment table — uncapped, no HBM expansion
         # (ray_compute_color.comp:11-24 / beam_compute_color.comp:11-24).
-        weighted = gather_ops.gather_segments_discrete(
+        return gather_ops.gather_segments_discrete(
             view.wx, view.wy, view.wz, view.weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             params.light_ray_step_size,
@@ -306,25 +424,36 @@ def shade_view(
             ),
             impl=config.gather_impl,
             max_points_per_segment=config.max_points_per_segment,
+            layout=layout, lane_need=lane_need,
         )
-    else:
-        l_pos, l_int, l_valid = _expanded_lights(
-            lights, params, algorithm, config
-        )
-        # Volume-centered frame for the MXU distance matmul (gather_kernel).
-        center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
-        sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
-        weighted = gather_ops.gather_planes(
-            view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
-            sphere=sphere, radius=params.beam_radius,
-            impl=config.gather_impl, center=center,
-        )
-    colors = jnp.sum(weighted, axis=-1)[: view.n_rays]
+    l_pos, l_int, l_valid = _expanded_lights(
+        lights, params, algorithm, config
+    )
+    # Volume-centered frame for the MXU distance matmul (gather_kernel).
+    center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
+    sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
+    return gather_ops.gather_planes(
+        view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
+        sphere=sphere, radius=params.beam_radius,
+        impl=config.gather_impl, center=center, layout=layout,
+        lane_need=lane_need,
+    )
 
-    if not normalize:
-        return colors.reshape(view.rows, W)
+
+def shade_view_compact(
+    grid: DenseGrid,
+    view: CompactView,
+    params: RenderParams,
+    lights: LightArray,
+    algorithm: Algorithm,
+    config: StaticConfig,
+) -> jax.Array:
+    """Per-frame compact shading: (Rc,) clipped normalized radiance of the
+    hit rays only — no image-space expansion (engine.step accumulates in
+    compact space and expands once per batch)."""
+    colors = _ray_radiance(grid, view, params, lights, algorithm, config)
     denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
-    return jnp.clip(colors / denom, 0.0, 1.0).reshape(view.rows, W)
+    return jnp.clip(colors / denom, 0.0, 1.0)
 
 
 def render_frame(
