@@ -163,3 +163,61 @@ def test_session_uses_occupied_clip():
     r_plain.step(2)
     np.testing.assert_allclose(r.image(), r_plain.image(), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_occupancy_compacted_march_bit_identical():
+    """Brick-skipping march (occupied_cap) must reproduce the full march
+    exactly up to cumprod tree association: identical nonzero SUPPORT
+    (same t positions, same zero pattern) and weights within ~1 ulp (the
+    transmittance prefix-product of the same factor multiset associates
+    differently over a 41- vs 96-length scan; skipped samples contribute
+    exactly-1.0 factors)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from volumerenderer_tpu.grid import procedural
+    from volumerenderer_tpu.ops import march as M
+
+    g = procedural.cloud(n=48, seed=11)
+    rs = np.random.RandomState(5)
+    o = jnp.asarray((rs.rand(64, 3) * 10 - 5).astype(np.float32))
+    o = o.at[:, 2].set(-30.0)
+    d = jnp.asarray(rs.randn(64, 3).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o_i = g.world_to_index(o)
+    d_i = g.world_to_index_dir(d)
+    d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
+    kw = dict(ray_max_distance=2500.0, step_size=1.0, absorption=0.05,
+              max_steps=96)
+    full = M.march(g, o_i, d_i, **kw)
+    counts = M.occupancy_counts(
+        g, o_i, d_i, ray_max_distance=2500.0, step_size=1.0, max_steps=96)
+    K = int(counts.max())
+    assert K < 96  # the scene really has skippable vacuum
+    comp = M.march(g, o_i, d_i, occupied_cap=K, **kw)
+
+    wf = np.asarray(full.weight); tf = np.asarray(full.t)
+    wc = np.asarray(comp.weight); tc = np.asarray(comp.t)
+    np.testing.assert_allclose(wf.sum(axis=-1), wc.sum(axis=-1),
+                               rtol=3e-6, atol=1e-9)
+    for r in range(wf.shape[0]):
+        nz = wf[r] != 0
+        got = {float(t): float(w) for t, w in zip(tc[r], wc[r]) if w != 0}
+        want = {float(t): float(w) for t, w in zip(tf[r][nz], wf[r][nz])}
+        assert set(got) == set(want), f"ray {r}: support differs"
+        for t in want:
+            assert abs(got[t] - want[t]) <= max(3e-6 * abs(want[t]), 1e-9), (
+                f"ray {r} t {t}")
+
+
+def test_occupancy_counts_zero_for_miss_rays():
+    import numpy as np
+    import jax.numpy as jnp
+    from volumerenderer_tpu.grid import procedural
+    from volumerenderer_tpu.ops import march as M
+
+    g = procedural.fog_sphere(n=32)
+    o_i = jnp.asarray([[-100.0, -100.0, -100.0]], jnp.float32)
+    d_i = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    counts = M.occupancy_counts(
+        g, o_i, d_i, ray_max_distance=2500.0, step_size=1.0, max_steps=64)
+    assert int(counts[0]) == 0

@@ -103,7 +103,11 @@ class StaticConfig:
     max_path_segments: int = 8  # scatter re-origins per camera path
     max_points_per_segment: int = 512  # Ray/Beam sub-light cap per segment
     expanded_light_capacity: int = 16384  # compacted Ray/Beam sub-light slots
-    gather_samples: int = 256  # top-k march samples kept per ray (0 = all)
+    # Optional per-ray top-k cap on baked march samples (0 = uncapped,
+    # fully exact).  With compact_view the march is already bounded by the
+    # brick-occupancy probe and banded builds bound peak HBM, so the cap
+    # is only a deliberate lossy-speed knob, not a memory necessity.
+    gather_samples: int = 0
     # Globally compact the baked view to its nonzero-weight samples
     # (render.color.CompactView): engine.session probes the march once per
     # view rebuild, auto-sizes the per-ray cap C = max nonzero samples

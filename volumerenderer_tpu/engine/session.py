@@ -27,9 +27,11 @@ from ..render.color import required_march_steps
 from .params import Algorithm, RenderParams, StaticConfig
 from .state import RenderState
 from .step import (
+    band_from_planes_step,
+    build_view_rays_step,
     build_view_step,
-    compact_view_step,
-    probe_view_step,
+    camera_rays_index_step,
+    occupancy_counts_rays_step,
     render_step,
     render_step_cached,
     render_steps_cached,
@@ -148,32 +150,14 @@ class Renderer:
             self._grid_token,
         )
         if key != self._view_key:
+            # Release the stale view FIRST: at bunny_cloud scale it holds
+            # multiple GB of HBM and coexisting with the rebuild would OOM.
+            self._view = None
+            self._view_key = None
             clip_box, view_steps = self._occupied_clip()
             steps = min(max_steps, view_steps)
             if self.config.compact_view:
-                # Probe the march once: C = max nonzero samples per ray
-                # (exact top-k when it fits under the gather_samples cap),
-                # row capacity = true hit-ray count (exact compaction).
-                mx, _total, hits = probe_view_step(
-                    self.grid, self.params, clip_box,
-                    config=self.config, max_steps=steps,
-                )
-                mx, hits = int(mx), int(hits)
-                cap = self.gather_samples if self.gather_samples else steps
-                # Quantize the static sizes so small camera moves reuse
-                # compiled steps instead of recompiling per rebuild.
-                C = min(max(1, -(-min(mx, cap, steps) // 16) * 16), steps)
-                # Exactness flag: False only when a ray has more nonzero
-                # samples than the gather_samples cap allows.
-                self.view_exact = mx <= C
-                view = build_view_step(
-                    self.grid, self.params, clip_box,
-                    config=self.config, max_steps=steps,
-                    gather_samples=C if C < steps else 0,
-                )
-                quantum = 1024
-                capacity = max(quantum, -(-hits // quantum) * quantum)
-                self._view = compact_view_step(view, capacity=capacity)
+                self._view = self._build_compact_view(clip_box, steps)
             else:
                 self.view_exact = (
                     self.gather_samples == 0
@@ -194,6 +178,106 @@ class Renderer:
     # amortize launch round-trips (frames-in-flight analogue).
     frame_batch: int = 8
 
+    # HBM budget for one band's baked planes during the compact-view
+    # build (the transpose to lane layout transiently doubles it); views
+    # exceeding it are built band-by-band — bunny_cloud-scale marches
+    # would otherwise materialize ~8 GB of planes at once.
+    view_build_budget_bytes: int = 3 << 29
+
+    def _build_compact_view(self, clip_box, steps: int):
+        """Build the lane-per-ray compact view (render.color.CompactView)
+        directly from the occupancy counts — no full-image planes, no
+        device-side compaction pass, and miss rays are never marched:
+
+        1. Occupancy pre-pass: per-ray occupied fine-sample bounds from the
+           1-brick-dilated table at coarse cells (no volume fetches, 1/cell
+           the sample rate).  counts[r]==0 proves ray r black.
+        2. Host sort: hit rays ordered by descending bound -> compact lane
+           order (tight per-block sample bounds in the shade kernels) and
+           the inv_map/src index vectors.
+        3. March per BAND of sorted lanes with the band's own cap K_b —
+           plane width hugs each band's need, bounding peak HBM to
+           ``view_build_budget_bytes`` without giant-scene OOM.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.pallas.gather_lanes import TILE_L
+        from ..render.color import CompactView
+
+        cfg = self.config
+        H, W = cfg.height, cfg.width
+        n_rays = H * W
+        step_f = float(self.params.ray_marching_step_size)
+        cell = max(1, int(8.0 // max(step_f, 1e-6)))
+        use_occ = cfg.interpolation == "nearest" and cell > 1
+        # Compute the camera rays ONCE and feed the same arrays to probe
+        # and band builds: separately-compiled camera/transform math can
+        # differ by ulps between programs, which would shift every sample
+        # position and void the probe's superset guarantee.
+        o_i, d_i = camera_rays_index_step(self.grid, self.params, config=cfg)
+        if use_occ:
+            counts = np.asarray(occupancy_counts_rays_step(
+                self.grid, self.params, clip_box, o_i, d_i,
+                config=cfg, max_steps=steps, march_cell=cell,
+            ))[:n_rays]
+        else:
+            # No occupancy structure (e.g. trilinear): every ray is a
+            # candidate at the full step budget.
+            counts = np.full((n_rays,), steps, np.int32)
+        order = np.argsort(-counts, kind="stable").astype(np.int32)
+        hit_n = max(1, int((counts > 0).sum()))
+        lanes_n = -(-hit_n // TILE_L) * TILE_L
+        order_l = order[:min(lanes_n, n_rays)]
+        if len(order_l) < lanes_n:  # tiny views: pad with repeated ray 0
+            order_l = np.concatenate(
+                [order_l, np.zeros(lanes_n - len(order_l), np.int32)]
+            )
+        counts_l = np.where(
+            np.arange(lanes_n) < hit_n, counts[order_l], 0
+        ).astype(np.int32)
+
+        gs = self.gather_samples
+        mx = int(counts_l[0])
+        self.view_exact = (not gs) or gs >= mx
+
+        order_dev = jnp.asarray(order_l)
+
+        bands = []
+        startl = 0
+        while startl < lanes_n:
+            kb_fine = max(int(counts_l[startl]), 1)
+            # Quantized band cap: whole cells, 16-step granularity for
+            # compile-cache stability across small camera moves.
+            Kb = min(max(-(-kb_fine // 16) * 16, cell), steps)
+            plane_c = min(gs, Kb) if gs else Kb
+            per_lane = max(plane_c, 1) * 16
+            max_lanes = max(
+                TILE_L,
+                (self.view_build_budget_bytes // per_lane) // TILE_L * TILE_L,
+            )
+            size = min(lanes_n - startl, max_lanes)
+            idx = jax.lax.dynamic_slice_in_dim(order_dev, startl, size)
+            o_b = jnp.take(o_i, idx, axis=0)
+            d_b = jnp.take(d_i, idx, axis=0)
+            wx, wy, wz, w = build_view_rays_step(
+                self.grid, self.params, clip_box, o_b, d_b,
+                config=cfg, max_steps=steps,
+                gather_samples=gs if gs and gs < Kb else 0,
+                occupied_cap=Kb, march_cell=cell,
+            )
+            bands.append(band_from_planes_step(wx, wy, wz, w))
+            startl += size
+
+        inv = np.full((n_rays,), lanes_n, np.int32)
+        inv[order_l[:hit_n]] = np.arange(hit_n, dtype=np.int32)
+        return CompactView(
+            bands=tuple(bands),
+            inv_map=jnp.asarray(inv),
+            src=order_dev,
+            n_rays=n_rays,
+            rows=H,
+        )
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
         cached = self.use_view_cache and self.algorithm is not Algorithm.PATH

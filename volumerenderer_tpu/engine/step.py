@@ -72,48 +72,173 @@ def render_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_steps", "gather_samples"),
+    static_argnames=("config", "max_steps", "gather_samples",
+                     "occupied_cap", "num_rows", "march_cell"),
 )
 def build_view_step(
     grid: DenseGrid,
     params: RenderParams,
     clip_box=None,
+    row_start=0,
     *,
     config: StaticConfig,
     max_steps: int,
     gather_samples: int = 0,
+    occupied_cap: int | None = None,
+    num_rows: int | None = None,
+    march_cell: int = 8,
 ):
     """Bake the per-view march (render.color.build_view) once per camera/
     volume/step change; reused by every subsequent cached frame.
     ``clip_box``: concrete occupied-region corners (session computes them
-    host-side from the brick occupancy)."""
+    host-side from the brick occupancy); ``occupied_cap``: per-ray
+    occupied-sample bound for the brick-skipping march."""
     return color_mod.build_view(
-        grid, params, config, max_steps, gather_samples, clip_box=clip_box
+        grid, params, config, max_steps, gather_samples, clip_box=clip_box,
+        occupied_cap=occupied_cap, row_start=row_start, num_rows=num_rows,
+        march_cell=march_cell,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_steps"),
+    static_argnames=("config", "max_steps", "march_cell"),
 )
-def probe_view_step(
+def occupancy_probe_step(
     grid: DenseGrid,
     params: RenderParams,
     clip_box=None,
     *,
     config: StaticConfig,
     max_steps: int,
+    march_cell: int = 8,
 ):
-    """March statistics pre-pass (render.color.probe_view): (max nonzero
-    samples on any ray, total nonzero) — sizes the exact view cache."""
-    return color_mod.probe_view(
-        grid, params, config, max_steps, clip_box=clip_box
+    """Brick-occupancy pre-pass (render.color.occupancy_probe):
+    per-ray occupied fine-sample bounds (N,) — no volume fetches; zero
+    means the ray can never see density, max bounds the march's
+    occupied_cap."""
+    return color_mod.occupancy_probe(
+        grid, params, config, max_steps, clip_box=clip_box,
+        march_cell=march_cell,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
+@functools.partial(jax.jit, static_argnames=("config",))
+def camera_rays_index_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    *,
+    config: StaticConfig,
+):
+    """Full-view index-space camera rays (render.color.camera_rays_index)."""
+    return color_mod.camera_rays_index(grid, params, config)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "march_cell"),
+)
+def occupancy_counts_rays_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box,
+    o_i,
+    d_i,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    march_cell: int = 8,
+):
+    """Occupancy bounds for an explicit ray set
+    (render.color.occupancy_counts_rays)."""
+    return color_mod.occupancy_counts_rays(
+        grid, params, config, max_steps, o_i, d_i,
+        clip_box=clip_box, march_cell=march_cell,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "gather_samples",
+                     "occupied_cap", "march_cell"),
+)
+def build_view_rays_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box,
+    o_i,
+    d_i,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    gather_samples: int = 0,
+    occupied_cap: int | None = None,
+    march_cell: int = 8,
+):
+    """Bake the march for an explicit ray band (render.color.
+    build_view_rays): (wx, wy, wz, w) planes, (N, C)."""
+    return color_mod.build_view_rays(
+        grid, params, config, max_steps, o_i, d_i,
+        gather_samples=gather_samples, clip_box=clip_box,
+        occupied_cap=occupied_cap, march_cell=march_cell,
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("wx", "wy", "wz", "w"))
+def band_from_planes_step(wx, wy, wz, w):
+    """(N, C) ray-band planes -> lane-layout PlaneBand (transpose + sublane
+    pad; plane buffers donated — they are only needed as the source).
+
+    lane_need comes from the planes themselves (last nonzero weight + 1),
+    NOT the occupancy bound: the true support is typically much tighter
+    (no transmittance-cutoff tail, no dilation slack), and it is what the
+    shade kernels' per-block slab bounds should hug."""
+    C = wx.shape[1]
+    padC = (-C) % 8
+    nz = w != 0.0
+    need = jnp.where(
+        jnp.any(nz, axis=-1), C - jnp.argmax(nz[:, ::-1], axis=-1), 0
+    ).astype(jnp.int32)
+    tr = lambda a: (jnp.pad(a, ((0, 0), (0, padC))) if padC else a).T
+    return color_mod.PlaneBand(
+        wx=tr(wx), wy=tr(wy), wz=tr(wz), weight=tr(w), lane_need=need,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "occupied_cap", "num_rows",
+                     "march_cell"),
+)
+def probe_view_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box=None,
+    row_start=0,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    occupied_cap: int | None = None,
+    num_rows: int | None = None,
+    march_cell: int = 8,
+):
+    """March statistics pre-pass (render.color.probe_view): (max nonzero
+    samples on any ray, total nonzero, hit rays) — sizes the exact view
+    cache."""
+    return color_mod.probe_view(
+        grid, params, config, max_steps, clip_box=clip_box,
+        occupied_cap=occupied_cap, row_start=row_start, num_rows=num_rows,
+        march_cell=march_cell,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity",), donate_argnames=("view",)
+)
 def compact_view_step(view, *, capacity: int):
-    """Globally compact a baked view (render.color.compact_view)."""
+    """Globally compact a baked view (render.color.compact_view).  The
+    input planes are donated — at bunny_cloud scale they are gigabytes and
+    only needed as the gather source."""
     return color_mod.compact_view(view, capacity)
 
 

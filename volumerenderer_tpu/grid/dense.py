@@ -46,6 +46,7 @@ class DenseGrid:
     map_vec: jax.Array  # (3,) f32 translation
     brick_occ: jax.Array  # (nbx, nby, nbz) bool
     brick_max: jax.Array  # (nbx, nby, nbz) f32
+    brick_occ_dil: jax.Array  # (nbx, nby, nbz) bool, 3^3 dilation of occ
 
     # ---- transforms (parity with pnanovdb_grid_{world_to_indexf,...}) ----
 
@@ -88,6 +89,47 @@ class DenseGrid:
     def sample_nearest(self, pos):
         """Fetch at floor(pos) for float index-space positions (..., 3)."""
         return self.sample_ijk(jnp.floor(pos).astype(jnp.int32))
+
+    def brick_occupancy_at(self, pos):
+        """Brick-occupancy test at float index-space positions (..., 3).
+
+        True iff floor(pos) lies in an occupied 8^3 brick (brick_occ =
+        brick_max > 0, so False guarantees the voxel value is exactly 0.0
+        under nearest sampling).  The table is ~voxels/512 entries — VMEM
+        resident — so this is the cheap pre-test that lets the march skip
+        fetching from the full HBM volume (ops.march occupied_cap).
+        """
+        ijk = jnp.floor(pos).astype(jnp.int32)
+        rel = ijk - self.bbox_min
+        shape = jnp.asarray(self.voxels.shape, jnp.int32)
+        inb = jnp.all((rel >= 0) & (rel < shape), axis=-1)
+        relb = jnp.clip(rel, 0, shape - 1) // BRICK
+        nb = self.brick_occ.shape
+        lin = (relb[..., 0] * nb[1] + relb[..., 1]) * nb[2] + relb[..., 2]
+        occ = jnp.take(self.brick_occ.reshape(-1), lin, mode="clip")
+        return occ & inb
+
+    def brick_occupancy_dilated_at(self, pos):
+        """1-brick-dilated occupancy at float index positions (..., 3).
+
+        True iff floor(pos)'s brick or ANY 3^3 neighbor is occupied.  Used
+        by the coarse march selection (ops.march): testing the dilated
+        table only at both endpoints of an 8-voxel cell covers every brick
+        the cell's fine samples can touch (a straight 8-voxel segment moves
+        at most 2 brick coords per axis, monotonically, so every brick on
+        it is within 1 of an endpoint brick).  Out-of-volume positions
+        return True iff floor(pos) is within one brick of the volume (the
+        clamp maps them to the nearest boundary brick) — a conservative
+        superset, never an omission."""
+        ijk = jnp.floor(pos).astype(jnp.int32)
+        rel = ijk - self.bbox_min
+        shape = jnp.asarray(self.voxels.shape, jnp.int32)
+        pad = jnp.all((rel >= -BRICK) & (rel < shape + BRICK), axis=-1)
+        relb = jnp.clip(rel, 0, shape - 1) // BRICK
+        nb = self.brick_occ_dil.shape
+        lin = (relb[..., 0] * nb[1] + relb[..., 1]) * nb[2] + relb[..., 2]
+        occ = jnp.take(self.brick_occ_dil.reshape(-1), lin, mode="clip")
+        return occ & pad
 
     def sample_trilinear(self, pos):
         """Trilinear interpolation at float index-space positions (..., 3).
@@ -164,6 +206,18 @@ def from_dense(
     if map_mat is None:
         map_mat = np.eye(3, dtype=np.float32) * np.float32(voxel_size)
     map_mat = np.asarray(map_mat, np.float32)
+    occ = brick_max > 0.0
+    # 3^3 binary dilation (sequential per-axis max of shifted copies).
+    dil = occ.copy()
+    for axis in range(3):
+        shifted_f = np.zeros_like(dil)
+        shifted_b = np.zeros_like(dil)
+        sl = [slice(None)] * 3
+        sf = [slice(None)] * 3
+        sl[axis], sf[axis] = slice(1, None), slice(None, -1)
+        shifted_f[tuple(sl)] = dil[tuple(sf)]
+        shifted_b[tuple(sf)] = dil[tuple(sl)]
+        dil = dil | shifted_f | shifted_b
     return DenseGrid(
         voxels=jnp.asarray(padded),
         bbox_min=jnp.asarray(bbox_min),
@@ -171,6 +225,7 @@ def from_dense(
         map_mat=jnp.asarray(map_mat),
         map_inv=jnp.asarray(np.linalg.inv(map_mat).astype(np.float32)),
         map_vec=jnp.asarray(np.asarray(translation, np.float32)),
-        brick_occ=jnp.asarray(brick_max > 0.0),
+        brick_occ=jnp.asarray(occ),
         brick_max=jnp.asarray(brick_max.astype(np.float32)),
+        brick_occ_dil=jnp.asarray(dil),
     )

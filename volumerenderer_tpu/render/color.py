@@ -85,6 +85,17 @@ def _expanded_lights(lights: LightArray, params, algorithm, config):
 
 
 @struct.dataclass
+class PlaneBand:
+    """One band of compacted lane planes (see CompactView)."""
+
+    wx: jax.Array  # (Cp, Rc) world-space sample x coords, lane = hit ray
+    wy: jax.Array  # (Cp, Rc)
+    wz: jax.Array  # (Cp, Rc)
+    weight: jax.Array  # (Cp, Rc) gather weights (zero cols = padding)
+    lane_need: jax.Array  # (Rc,) i32: samples each lane actually uses
+
+
+@struct.dataclass
 class CompactView:
     """Ray-compacted baked march in lane-per-ray layout.
 
@@ -101,15 +112,17 @@ class CompactView:
     segment reduction (TPU scatters measured 15x the whole kernel's cost).
     Expansion back to the image is one baked GATHER (``inv_map``), and the
     engine amortizes even that by accumulating in compact space.
+
+    ``bands`` holds one PlaneBand per build band (engine.session builds
+    giant views band-by-band to bound peak HBM and never concatenates the
+    multi-GB planes — each band shades through its own kernel call and
+    only the (Rc_total,) color vector is stitched).  Lane indices in
+    ``inv_map``/``src`` are global across the concatenated bands.
     """
 
-    wx: jax.Array  # (Cp, Rc) world-space sample x coords, lane = hit ray
-    wy: jax.Array  # (Cp, Rc)
-    wz: jax.Array  # (Cp, Rc)
-    weight: jax.Array  # (Cp, Rc) gather weights (zero cols = padding)
-    inv_map: jax.Array  # (Np,) i32: compact lane of each image ray; Rc = miss
-    src: jax.Array  # (Rc,) i32: image ray of each compact lane (pad -> 0)
-    lane_need: jax.Array  # (Rc,) i32: samples each lane actually uses
+    bands: tuple  # tuple[PlaneBand, ...]
+    inv_map: jax.Array  # (n_rays,) i32: global lane of each ray; total = miss
+    src: jax.Array  # (Rc_total,) i32: image ray of each lane (pad -> 0)
     n_rays: int = struct.field(pytree_node=False)
     rows: int = struct.field(pytree_node=False)
 
@@ -157,16 +170,19 @@ def compact_view(view: ViewCache, capacity_rays: int) -> CompactView:
         if padC:
             rows = jnp.pad(rows, ((0, 0), (0, padC)))
         return rows.T
-    return CompactView(
+    band = PlaneBand(
         wx=lanes(view.wx),
         wy=lanes(view.wy),
         wz=lanes(view.wz),
         weight=lanes(view.weight, zero_dead=True),
-        inv_map=jnp.where(keep, pos, capacity_rays),
-        src=jnp.where(lane_live, src, 0),
         lane_need=jnp.where(
             lane_live, jnp.take(need, src, axis=0), 0
         ),
+    )
+    return CompactView(
+        bands=(band,),
+        inv_map=jnp.where(keep, pos, capacity_rays)[: view.n_rays],
+        src=jnp.where(lane_live, src, 0),
         n_rays=view.n_rays,
         rows=view.rows,
     )
@@ -211,12 +227,19 @@ def build_view(
     row_start=0,
     num_rows: int | None = None,
     clip_box=None,
+    occupied_cap: int | None = None,
+    march_cell: int = 8,
 ) -> ViewCache:
     """Run the transmittance march for every pixel and bake the results.
 
     ``clip_box``: optional occupied-region corners (grid.dense.occupied_bbox)
     — lets max_steps be bounded by the occupied diagonal; bit-identical
-    results (ops.march)."""
+    results (ops.march).
+    ``occupied_cap``: optional per-ray occupied-sample bound — the march
+    tests the brick-occupancy table first and fetches the HBM volume only
+    at occupied samples (ops.march occupied_cap); bit-identical whenever
+    the cap >= the true per-ray maximum (ops.march.occupancy_counts, run
+    by engine.session's probe)."""
     H, W = config.height, config.width
     rows = H if num_rows is None else num_rows
     o_w, d_w = camera.camera_rays(
@@ -237,8 +260,20 @@ def build_view(
         [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
     )
     n_tiles = (n_rays + pad) // tile
-    compact = bool(gather_samples) and gather_samples < max_steps
-    C = gather_samples if compact else max_steps
+    cap = (
+        occupied_cap
+        if config.interpolation == "nearest" and march_cell > 1
+        else None
+    )
+    if cap is not None:
+        # The cell-compacted march emits whole cells (ops.march).
+        n_cells = -(-max_steps // march_cell)
+        kc = min(max(1, -(-min(cap, max_steps) // march_cell)), n_cells)
+        S_eff = kc * march_cell
+    else:
+        S_eff = max_steps
+    compact = bool(gather_samples) and gather_samples < S_eff
+    C = gather_samples if compact else S_eff
 
     def march_tile(inputs):
         o, d = inputs
@@ -252,12 +287,12 @@ def build_view(
             max_steps=max_steps,
             interpolation=config.interpolation,
             clip_box=clip_box,
+            occupied_cap=cap,
+            cell=march_cell,
         )
         if compact:
             w, idx = jax.lax.top_k(m.weight, C)
-            t = m.tmin[:, None] + idx.astype(jnp.float32) * (
-                params.ray_marching_step_size
-            )
+            t = jnp.take_along_axis(m.t, idx, axis=-1)
         else:
             w, t = m.weight, m.t
         # Bake world-space sample coordinates so per-frame shading touches
@@ -303,6 +338,8 @@ def probe_view(
     row_start=0,
     num_rows: int | None = None,
     clip_box=None,
+    occupied_cap: int | None = None,
+    march_cell: int = 8,
 ):
     """March statistics without baking planes: (max nonzero gather samples
     on any ray, total nonzero samples, rays with any nonzero sample).
@@ -341,6 +378,10 @@ def probe_view(
             max_steps=max_steps,
             interpolation=config.interpolation,
             clip_box=clip_box,
+            occupied_cap=(
+                occupied_cap if config.interpolation == "nearest" else None
+            ),
+            cell=march_cell,
         )
         return jnp.sum((m.weight != 0.0).astype(jnp.int32), axis=-1)
 
@@ -353,6 +394,192 @@ def probe_view(
         jnp.sum(counts),
         jnp.sum((counts > 0).astype(jnp.int32)),
     )
+
+
+def camera_rays_index(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    row_start=0,
+    num_rows: int | None = None,
+):
+    """Index-space camera ray origins/unit dirs for the view: (N, 3) each."""
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    o_w, d_w = camera.camera_rays(
+        W, H, params.fov, params.camera_pos,
+        look_rotation=params.camera_rotation,
+        row_start=row_start, num_rows=rows,
+    )
+    o_i = grid.world_to_index(o_w.reshape(-1, 3))
+    d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
+    d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
+    return o_i, d_i
+
+
+def occupancy_probe(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    row_start=0,
+    num_rows: int | None = None,
+    clip_box=None,
+    march_cell: int = 8,
+):
+    """Per-ray occupied fine-sample bounds over the view (N,) — NO volume
+    fetches, only the tiny dilated brick table at 1/cell the sample rate
+    (ops.march.occupancy_counts).  counts[r] == 0 guarantees ray r never
+    sees nonzero density; max(counts) bounds ``occupied_cap`` for
+    support-exact compacted marches."""
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    o_i, d_i = camera_rays_index(grid, params, config, row_start, num_rows)
+    n_rays = rows * W
+    tile = min(config.ray_tile, n_rays)
+    pad = (-n_rays) % tile
+    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+    d_i = jnp.concatenate(
+        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+    n_tiles = (n_rays + pad) // tile
+
+    def count_tile(inputs):
+        o, d = inputs
+        return march_ops.occupancy_counts(
+            grid, o, d,
+            ray_max_distance=params.ray_max_distance,
+            step_size=params.ray_marching_step_size,
+            max_steps=max_steps,
+            clip_box=clip_box,
+            cell=march_cell,
+        )
+
+    return jax.lax.map(
+        count_tile,
+        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
+    ).reshape(-1)[:n_rays]
+
+
+def occupancy_counts_rays(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    o_i,
+    d_i,
+    *,
+    clip_box=None,
+    march_cell: int = 8,
+):
+    """Per-ray occupied fine-sample bounds for an EXPLICIT ray set — must
+    be fed the same ray arrays later marched (engine.session computes them
+    once), so probe and build see bit-identical geometry and the
+    cell-selection superset guarantee holds."""
+    n_rays = o_i.shape[0]
+    tile = min(config.ray_tile, n_rays)
+    pad = (-n_rays) % tile
+    if pad:
+        o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+        d_i = jnp.concatenate(
+            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))],
+            axis=0,
+        )
+    n_tiles = (n_rays + pad) // tile
+
+    def count_tile(inputs):
+        o, d = inputs
+        return march_ops.occupancy_counts(
+            grid, o, d,
+            ray_max_distance=params.ray_max_distance,
+            step_size=params.ray_marching_step_size,
+            max_steps=max_steps,
+            clip_box=clip_box,
+            cell=march_cell,
+        )
+
+    return jax.lax.map(
+        count_tile,
+        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
+    ).reshape(-1)[: n_rays]
+
+
+def build_view_rays(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    o_i,
+    d_i,
+    *,
+    gather_samples: int = 0,
+    clip_box=None,
+    occupied_cap: int | None = None,
+    march_cell: int = 8,
+):
+    """Bake the march for an EXPLICIT ray set (N, 3 each; N a multiple of
+    the ray tile) — the band unit of the sorted compact-view build
+    (engine.session): miss rays are never marched at all and each band's
+    plane width hugs its own occupancy bound.  Returns (wx, wy, wz, w)
+    planes of shape (N, C)."""
+    n_rays = o_i.shape[0]
+    tile = min(config.ray_tile, n_rays)
+    pad = (-n_rays) % tile
+    if pad:
+        o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+        d_i = jnp.concatenate(
+            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))],
+            axis=0,
+        )
+    n_tiles = (n_rays + pad) // tile
+    cap = (
+        occupied_cap
+        if config.interpolation == "nearest" and march_cell > 1
+        else None
+    )
+    if cap is not None:
+        n_cells = -(-max_steps // march_cell)
+        kc = min(max(1, -(-min(cap, max_steps) // march_cell)), n_cells)
+        S_eff = kc * march_cell
+    else:
+        S_eff = max_steps
+    compact = bool(gather_samples) and gather_samples < S_eff
+    C = gather_samples if compact else S_eff
+
+    def march_tile(inputs):
+        o, d = inputs
+        m = march_ops.march(
+            grid, o, d,
+            ray_max_distance=params.ray_max_distance,
+            step_size=params.ray_marching_step_size,
+            absorption=params.absorption_coefficient,
+            max_steps=max_steps,
+            interpolation=config.interpolation,
+            clip_box=clip_box,
+            occupied_cap=cap,
+            cell=march_cell,
+        )
+        if compact:
+            w, idx = jax.lax.top_k(m.weight, C)
+            t = jnp.take_along_axis(m.t, idx, axis=-1)
+        else:
+            w, t = m.weight, m.t
+        ix = o[:, 0:1] + d[:, 0:1] * t
+        iy = o[:, 1:2] + d[:, 1:2] * t
+        iz = o[:, 2:3] + d[:, 2:3] * t
+        mm = grid.map_mat
+        mv = grid.map_vec
+        wx = mm[0, 0] * ix + mm[0, 1] * iy + mm[0, 2] * iz + mv[0]
+        wy = mm[1, 0] * ix + mm[1, 1] * iy + mm[1, 2] * iz + mv[1]
+        wz = mm[2, 0] * ix + mm[2, 1] * iy + mm[2, 2] * iz + mv[2]
+        return wx, wy, wz, w
+
+    wx, wy, wz, w = jax.lax.map(
+        march_tile,
+        (o_i.reshape(n_tiles, tile, 3), d_i.reshape(n_tiles, tile, 3)),
+    )
+    reshape = lambda a: a.reshape(n_rays + pad, C)[:n_rays]
+    return tuple(map(reshape, (wx, wy, wz, w)))
 
 
 def shade_view(
@@ -388,9 +615,25 @@ def shade_view(
 
 def _ray_radiance(grid, view, params, lights, algorithm, config):
     """Weighted radiance for a baked view: (R, C) per-sample sums for a
-    ViewCache, (Rc,) per-ray sums for a CompactView (lane kernels)."""
-    layout = "lanes" if isinstance(view, CompactView) else "slots"
-    lane_need = view.lane_need if isinstance(view, CompactView) else None
+    ViewCache, (Rc_total,) per-ray sums for a CompactView (lane kernels,
+    one call per plane band; only the small color vectors are stitched)."""
+    if isinstance(view, CompactView):
+        parts = [
+            _radiance_planes(
+                grid, b.wx, b.wy, b.wz, b.weight, params, lights,
+                algorithm, config, layout="lanes", lane_need=b.lane_need,
+            )
+            for b in view.bands
+        ]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return _radiance_planes(
+        grid, view.wx, view.wy, view.wz, view.weight, params, lights,
+        algorithm, config, layout="slots", lane_need=None,
+    )
+
+
+def _radiance_planes(grid, wx, wy, wz, weight, params, lights, algorithm,
+                     config, *, layout, lane_need):
     if (
         algorithm in (Algorithm.RAY, Algorithm.BEAM)
         and config.segment_mode == "analytic"
@@ -399,7 +642,7 @@ def _ray_radiance(grid, view, params, lights, algorithm, config):
         # (ops.gather.gather_segments): closed form for Ray, fixed-node
         # quadrature for Beam's sphere lights.
         return gather_ops.gather_segments(
-            view.wx, view.wy, view.wz, view.weight,
+            wx, wy, wz, weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             impl=config.gather_impl,
             sphere_radius=(
@@ -416,7 +659,7 @@ def _ray_radiance(grid, view, params, lights, algorithm, config):
         # the raw segment table — uncapped, no HBM expansion
         # (ray_compute_color.comp:11-24 / beam_compute_color.comp:11-24).
         return gather_ops.gather_segments_discrete(
-            view.wx, view.wy, view.wz, view.weight,
+            wx, wy, wz, weight,
             lights.pos_from, lights.pos_to, lights.intensity, lights.valid,
             params.light_ray_step_size,
             sphere_radius=(
@@ -433,7 +676,7 @@ def _ray_radiance(grid, view, params, lights, algorithm, config):
     center = grid.index_to_world((grid.box_min_f + grid.box_max_f) * 0.5)
     sphere = algorithm in (Algorithm.SPHERE, Algorithm.BEAM)
     return gather_ops.gather_planes(
-        view.wx, view.wy, view.wz, view.weight, l_pos, l_int, l_valid,
+        wx, wy, wz, weight, l_pos, l_int, l_valid,
         sphere=sphere, radius=params.beam_radius,
         impl=config.gather_impl, center=center, layout=layout,
         lane_need=lane_need,
