@@ -313,3 +313,49 @@ def test_discrete_segment_kernel_zero_and_short_segments():
         px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
         impl="vpu_interpret")
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_discrete_segment_kernel_paired_matches_exact():
+    """segment_eval="paired" (one divide per 4 sub-lights, rational
+    combination) computes the same sub-light quadrature as the bit-parity
+    evaluation to reassociation error (measured <= 3e-5 relative; the
+    guarded/overrun q=PAIR_BIG terms contribute <= 1e-9 each)."""
+    from volumerenderer_tpu.ops.gather import gather_segments_discrete
+
+    px, py, pz, w, pos_from, pos_to, inten, valid = _seg_scene(29)
+    for radius in (None, 0.25):
+        exact = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="vpu_interpret")
+        fast = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="vpu_interpret", paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_discrete_segment_kernel_paired_lanes_layout():
+    """Paired evaluation in the lane-per-ray layout (the CompactView hot
+    path) agrees with the exact lanes kernel and with the slots layout."""
+    from volumerenderer_tpu.ops.gather import gather_segments_discrete
+
+    rs = np.random.RandomState(30)
+    Cp, Rc = 16, 1024
+    px = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(5, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(5, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(5) * 30).astype(np.float32))
+    valid = jnp.arange(5) < 4
+    for radius in (None, 0.25):
+        exact = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="vpu_interpret", layout="lanes")
+        fast = gather_segments_discrete(
+            px, py, pz, w, pos_from, pos_to, inten, valid, 0.3,
+            sphere_radius=radius, impl="vpu_interpret", layout="lanes",
+            paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-5)

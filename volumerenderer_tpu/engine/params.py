@@ -130,6 +130,14 @@ class StaticConfig:
     #                         beam_quadrature_nodes points for Beam) —
     #                         10-100x fewer terms than discrete.
     segment_mode: str = "discrete"
+    # Discrete-mode sub-light arithmetic:
+    #   "exact"  — one guarded divide per sub-light, bit-parity with the
+    #              reference's term order (the test-oracle evaluation).
+    #   "paired" — the SAME sub-light sum with one divide per 4 terms
+    #              (rational combination; ops/pallas/gather_lanes
+    #              _discrete_kernel).  ~1.6x faster at 1080p; relative
+    #              reassociation error <= 3e-5 (measured, PARITY.md).
+    segment_eval: str = "paired"
     beam_quadrature_nodes: int = 16
     ray_tile: int = 16384  # rays processed per march tile (memory bound)
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state

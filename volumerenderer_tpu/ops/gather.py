@@ -287,6 +287,7 @@ def gather_segments_discrete(
     max_points_per_segment: int = 512,
     layout: str = "slots",
     lane_need=None,
+    paired: bool = False,
 ):
     """Reference-parity discrete Ray/VRL / Beam/VBL gather over SoA planes.
 
@@ -296,7 +297,9 @@ def gather_segments_discrete(
     gather_vpu._segment_discrete_kernel).  ``impl='xla'`` selects the
     independent capped expansion path (test oracle).  ``layout`` as in
     gather_planes: "slots" -> (R, C) weighted sums, "lanes" -> (Rc,)
-    per-ray sums.
+    per-ray sums.  ``paired=True``: same sub-light quadrature evaluated
+    with one divide per 4 terms (~1.6x faster; <= 3e-5 relative
+    reassociation error; Pallas paths only — ignored by the XLA oracle).
     """
     from .pallas import gather_vpu as vpu_mod
 
@@ -327,13 +330,14 @@ def gather_segments_discrete(
         return lanes_mod.gather_segments_discrete_lanes(
             px, py, pz, weight, pos_from, pos_to, intensity, valid,
             light_ray_step_size, sphere_radius=sphere_radius,
-            lane_need=lane_need, interpret=interpret,
+            lane_need=lane_need, paired=paired, interpret=interpret,
         )
     R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_discrete(
         pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
-        light_ray_step_size, sphere_radius=sphere_radius, interpret=interpret,
+        light_ray_step_size, sphere_radius=sphere_radius, paired=paired,
+        interpret=interpret,
     )
     return out[:M].reshape(R, C)
 

@@ -668,6 +668,7 @@ def _radiance_planes(grid, wx, wy, wz, weight, params, lights, algorithm,
             impl=config.gather_impl,
             max_points_per_segment=config.max_points_per_segment,
             layout=layout, lane_need=lane_need,
+            paired=config.segment_eval == "paired",
         )
     l_pos, l_int, l_valid = _expanded_lights(
         lights, params, algorithm, config
