@@ -53,6 +53,70 @@ def test_path_corrected_fidelity_runs_and_differs():
     assert not np.allclose(corrected, reference)  # the bug is visible
 
 
+def _bigger_scene(**cfg_kw):
+    """A 32x24 scene large enough to exercise the compaction machinery
+    when path_compact_min is lowered."""
+    rs = np.random.RandomState(3)
+    vals = (rs.rand(20, 20, 20) < 0.4) * (rs.rand(20, 20, 20) * 0.9 + 0.1)
+    g = from_dense(vals.astype(np.float32), voxel_size=1.0,
+                   translation=(-10.0, -10.0, 4.0))
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 0.0, -18.0]),
+        light_source_world_pos=jnp.float32([-3.0, 2.0, 10.0]),
+        scattering_probability=jnp.float32(0.2),
+        ray_max_distance=jnp.float32(80.0),
+    )
+    config = StaticConfig(width=32, height=24, ray_tile=256,
+                          max_path_segments=6, **cfg_kw)
+    return g, params, config
+
+
+def _render(g, params, config, frame_count=2, **kw):
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    return np.asarray(path.render_frame(g, params, frame_count, config, steps,
+                                        **kw)), steps
+
+
+@pytest.mark.parametrize("prob", [0.2, 0.9])
+def test_path_compaction_matches_full_width(prob):
+    """Compacted scatter segments (path_compact_min small -> caps bind)
+    reproduce the full-width walk exactly, including the overflow
+    fallback (prob=0.9 keeps most rays alive past the cap schedule)."""
+    g, params, config = _bigger_scene(path_compact_min=64)
+    params = params.replace(scattering_probability=jnp.float32(prob))
+    import dataclasses
+    full_cfg = dataclasses.replace(config, path_compact_min=1 << 30)
+    compact, _ = _render(g, params, config)
+    full, _ = _render(g, params, full_cfg)
+    np.testing.assert_array_equal(compact, full)
+
+
+def test_path_shadow_lut_is_exact():
+    """The shadow-probe LUT is bit-equal to the gathered probe (same
+    floor(probe) voxel, R >= ceil(step))."""
+    g, params, config = _bigger_scene(path_compact_min=64)
+    with_lut, _ = _render(g, params, config, shadow_lut_radius=1)
+    without, _ = _render(g, params, config, shadow_lut_radius=0)
+    np.testing.assert_array_equal(with_lut, without)
+
+
+def test_path_cached_matches_inline():
+    """render_frame(cache=bake_path_view(...)) == render_frame()."""
+    g, params, config = _bigger_scene(path_compact_min=64)
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    cache = path.bake_path_view(g, params, config, steps,
+                                shadow_lut_radius=1)
+    for fc in (1, 4):
+        inline = np.asarray(path.render_frame(g, params, fc, config, steps,
+                                              shadow_lut_radius=1))
+        cached = np.asarray(path.render_frame(g, params, fc, config, steps,
+                                              shadow_lut_radius=1,
+                                              cache=cache))
+        np.testing.assert_array_equal(cached, inline)
+
+
 def test_path_corrected_matches_oracle():
     g, params, config = make_scene(Fidelity.CORRECTED)
     steps = color.required_march_steps(g, float(params.ray_marching_step_size),

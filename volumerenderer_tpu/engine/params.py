@@ -139,6 +139,22 @@ class StaticConfig:
     #              reassociation error <= 3e-5 (measured, PARITY.md).
     segment_eval: str = "paired"
     beam_quadrature_nodes: int = 16
+    # PATH scatter segments below this many total rays skip the
+    # compaction plumbing entirely (the fixed cost outweighs the gather
+    # savings on tiny images).  Tests lower it to cover the compact path
+    # at small image sizes.
+    path_compact_min: int = 4096
+    # Width of the fixed-shape chunks that walk the compacted alive-ray
+    # list (render.path._scatter_segments): smaller = less padding waste
+    # on the last chunk, larger = fewer sequential loop iterations.
+    # 2048 measured best at 256^2-1080p scales on v5e.
+    path_chunk: int = 2048
+    # PATH shadow-probe LUT (render.path): the REFERENCE-fidelity light
+    # term reads one voxel within ``step`` of the light, replaceable by a
+    # (2R+1)^3 arithmetic-select LUT with R = ceil(step) — bit-exact, no
+    # per-sample gather.  The engine enables it while ceil(step) <= this
+    # cap (0 disables; large radii would bloat the select chain).
+    shadow_lut_max_radius: int = 2
     ray_tile: int = 16384  # rays processed per march tile (memory bound)
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
 

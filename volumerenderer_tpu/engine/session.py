@@ -28,10 +28,12 @@ from .params import Algorithm, RenderParams, StaticConfig
 from .state import RenderState
 from .step import (
     band_from_planes_step,
+    bake_path_view_step,
     build_view_rays_step,
     build_view_step,
     camera_rays_index_step,
     occupancy_counts_rays_step,
+    render_path_step_cached,
     render_step,
     render_step_cached,
     render_steps_cached,
@@ -68,6 +70,10 @@ class Renderer:
         self.use_view_cache = True
         self._view = None
         self._view_key = None
+        # PATH's baked camera segment (render.path.PathView) — keyed like
+        # the ViewCache plus the light fields its prefix bakes in.
+        self._path_view = None
+        self._path_view_key = None
 
     # ---- volume ----
 
@@ -173,6 +179,50 @@ class Renderer:
                 )
             self._view_key = key
         return self._view
+
+    def _shadow_lut_radius(self) -> int:
+        """ceil(step) when the PATH shadow-probe LUT applies (REFERENCE
+        fidelity, radius within config.shadow_lut_max_radius), else 0."""
+        import math
+
+        from .params import Fidelity
+
+        if self.config.fidelity is not Fidelity.REFERENCE:
+            return 0
+        r = math.ceil(float(self.params.ray_marching_step_size))
+        return r if 0 < r <= self.config.shadow_lut_max_radius else 0
+
+    def _current_path_view(self, max_steps: int, lut_radius: int):
+        """The baked PATH camera segment for the current scene — the
+        ViewCache dependency key plus every field the contribution prefix
+        bakes in (light position/intensity; scattering probability and
+        frame counter stay per-frame)."""
+        key = (
+            tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
+            tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
+            float(self.params.fov),
+            float(self.params.ray_max_distance),
+            float(self.params.ray_marching_step_size),
+            float(self.params.absorption_coefficient),
+            tuple(np.asarray(self.params.light_source_world_pos,
+                             np.float32).tolist()),
+            float(self.params.photon_initial_intensity),
+            self.config.width,
+            self.config.height,
+            max_steps,
+            lut_radius,
+            self.config.fidelity,
+            self._grid_token,
+        )
+        if key != self._path_view_key:
+            self._path_view = None
+            self._path_view_key = None
+            self._path_view = bake_path_view_step(
+                self.grid, self.params, config=self.config,
+                max_steps=max_steps, shadow_lut_radius=lut_radius,
+            )
+            self._path_view_key = key
+        return self._path_view
 
     # Cached frames are batched into single dispatches of this size to
     # amortize launch round-trips (frames-in-flight analogue).
@@ -280,7 +330,27 @@ class Renderer:
         )
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
-        cached = self.use_view_cache and self.algorithm is not Algorithm.PATH
+        if self.algorithm is Algorithm.PATH:
+            lut_r = self._shadow_lut_radius()
+            if self.use_view_cache:
+                cache = self._current_path_view(max_steps, lut_r)
+                for _ in range(n):
+                    self.state, self.lights = render_path_step_cached(
+                        self.grid, self.params, self.state, cache,
+                        config=self.config, max_steps=max_steps,
+                        shadow_lut_radius=lut_r,
+                    )
+            else:
+                for _ in range(n):
+                    self.state, self.lights = render_step(
+                        self.grid, self.params, self.state,
+                        algorithm=self.algorithm, config=self.config,
+                        max_steps=max_steps,
+                        gather_samples=self.gather_samples,
+                        shadow_lut_radius=lut_r,
+                    )
+            return self.state
+        cached = self.use_view_cache
         if cached:
             view = self._current_view(max_steps)
             remaining = n

@@ -25,7 +25,8 @@ from .state import RenderState, accumulate
 
 @functools.partial(
     jax.jit,
-    static_argnames=("algorithm", "config", "max_steps", "gather_samples"),
+    static_argnames=("algorithm", "config", "max_steps", "gather_samples",
+                     "shadow_lut_radius"),
     donate_argnames=("state",),
 )
 def render_step(
@@ -37,6 +38,7 @@ def render_step(
     config: StaticConfig,
     max_steps: int,
     gather_samples: int = 0,
+    shadow_lut_radius: int = 0,
 ):
     """Advance one frame: returns (new_state, lights).
 
@@ -49,7 +51,10 @@ def render_step(
 
     if algorithm is Algorithm.PATH:
         lights = photon.empty_lights(config)
-        frame = path_mod.render_frame(grid, params, frame_count, config, max_steps)
+        frame = path_mod.render_frame(
+            grid, params, frame_count, config, max_steps,
+            shadow_lut_radius=shadow_lut_radius,
+        )
     else:
         lights = photon.generate_lights(
             grid, params, frame_count, config, max_steps=max_steps
@@ -267,6 +272,57 @@ def render_step_cached(
     )
     frame = color_mod.shade_view(
         grid, view, params, lights, algorithm, config
+    )
+    new_accum = accumulate(
+        accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
+    )
+    return RenderState(accum=new_accum, frame_count=frame_count), lights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "shadow_lut_radius"),
+)
+def bake_path_view_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    shadow_lut_radius: int = 0,
+):
+    """Bake PATH's frame-invariant camera-segment planes
+    (render.path.bake_path_view) once per camera/volume/light change."""
+    return path_mod.bake_path_view(
+        grid, params, config, max_steps,
+        shadow_lut_radius=shadow_lut_radius,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "shadow_lut_radius"),
+    donate_argnames=("state",),
+)
+def render_path_step_cached(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    cache,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    shadow_lut_radius: int = 0,
+):
+    """Steady-state PATH frame: camera segment from the baked PathView
+    (RNG + prefix lookup, zero volume fetches), compacted scatter
+    segments, accumulation.  Identical results to render_step."""
+    frame_count = state.frame_count + 1
+    accum = jnp.where(frame_count == 1, 0.0, state.accum)
+    lights = photon.empty_lights(config)
+    frame = path_mod.render_frame(
+        grid, params, frame_count, config, max_steps,
+        shadow_lut_radius=shadow_lut_radius, cache=cache,
     )
     new_accum = accumulate(
         accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"

@@ -18,12 +18,45 @@ loop variable (path_compute_color.comp:20) and walks *away* from the sample.
 ``Fidelity.REFERENCE`` reproduces this exactly; ``Fidelity.CORRECTED``
 marches the light->sample segment properly.
 
-TPU-native structure: same two-level design as the photon walk — a bounded
-``while_loop`` over scatter segments, each segment fully vectorized over a
-pixel tile with a parallel first-scatter search on the counter-based RNG.
+TPU-native structure (three levels, all exact):
+
+  1. **Baked first segment** (``bake_path_view`` -> ``PathView``): the
+     camera segment's march positions, densities, light terms, and the
+     inclusive prefix of its in-scattering contributions depend only on
+     (camera, volume, light, march params) — NOT on the frame counter —
+     so they are baked once per view like the gather algorithms'
+     ViewCache.  A cached frame's first segment is pure VPU work (RNG
+     rolls + a prefix lookup): zero volume fetches.
+  2. **Shadow-probe LUT**: the REFERENCE light term reads the density at
+     ``light + dir*step`` — a point inside the closed ball of radius
+     ``step`` around the light, so ``floor(probe)`` lies in the static
+     ``(2R+1)^3`` voxel neighborhood with ``R = ceil(step)``.  Those few
+     voxels are fetched once and the per-sample lookup becomes an
+     arithmetic select-sum — replacing one random HBM gather per sample
+     (half of the frame's gather traffic) with a handful of VPU ops.
+     Bit-exact vs the gather (same floor, same voxel).
+  3. **Compacted scatter segments**: after the camera segment only rays
+     that scattered remain alive (alive(k+1) <= alive(k) structurally;
+     measured decay ~0.6x/segment on cloud scenes), so each later
+     segment compacts the alive indices (cumsum + scatter, order
+     preserved) and walks them in a DYNAMIC number of fixed-width
+     chunks (``while_loop`` + ``dynamic_slice``): gather volume tracks
+     the true alive count within one chunk of padding, with a single
+     compiled shape for any scene.  Exact — compaction only skips rows
+     whose work is fully masked; per-row arithmetic is
+     elementwise-identical to the full-width march.
+
+Position math goes through ops.march.t_grid / ray_positions so the
+rounding of ``o + d*t`` is pinned — the baked, inline, compacted, and
+full-width paths all see bit-identical sample positions (a 1-ulp
+difference would flip floor() at a voxel boundary and fork the walk).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -31,16 +64,80 @@ import jax.numpy as jnp
 from ..engine.params import Fidelity, RenderParams, StaticConfig
 from ..grid.dense import DenseGrid
 from ..ops import camera, intersect, rng
+from ..ops.march import ENTRY_EPS, ray_positions, t_grid
 
 
-def _light_term_reference(grid, sample_local, light_local, params):
-    """Literal port of computeLightContribution (path_compute_color.comp:9-31)."""
+class PathView(NamedTuple):
+    """Frame-invariant planes of the camera segment (see module docstring).
+
+    Arrays are padded to a whole number of ray tiles (``n_pad`` rows).
+    ``roll_site`` marks samples where the shader would draw an RNG roll
+    (occupied & entered); ``prefix`` is the inclusive running sum of the
+    in-scattering contributions ``val*step*light_term`` over those sites.
+    """
+
+    o_i: jax.Array  # (n_pad, 3) camera origins, index space
+    d_i: jax.Array  # (n_pad, 3) unit directions, index space
+    tmin: jax.Array  # (n_pad,) entry distance (ENTRY_EPS applied)
+    tmax: jax.Array  # (n_pad,) clipped exit distance
+    live: jax.Array  # (n_pad,) bool: ray marches at all
+    roll_site: jax.Array  # (n_pad, S) bool
+    prefix: jax.Array  # (n_pad, S) f32
+
+
+# ---------------------------------------------------------------------------
+# light terms
+
+
+def _lut_offsets(radius: int) -> np.ndarray:
+    L = 2 * radius + 1
+    g = np.stack(
+        np.meshgrid(*([np.arange(L, dtype=np.int32)] * 3), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    return g
+
+
+def _shadow_lut(grid: DenseGrid, light_local, radius: int):
+    """Densities of the (2R+1)^3 voxel neighborhood around the light.
+
+    Valid replacement for ``sample_nearest(probe)`` whenever
+    ``|probe - light| <= step <= R``: ``floor(light + u)`` for ``|u| <= R``
+    lies within ``floor(light) +- ceil(R)`` componentwise.
+    """
+    base = jnp.floor(light_local).astype(jnp.int32) - radius
+    offs = jnp.asarray(_lut_offsets(radius))
+    vals = grid.sample_ijk(base[None, :] + offs)  # ((2R+1)^3,)
+    return base, vals
+
+
+def _lut_lookup(probe, base, vals, radius: int):
+    """Select-sum lookup: exact sample_nearest(probe) via VPU compares."""
+    L = 2 * radius + 1
+    rel = jnp.floor(probe).astype(jnp.int32) - base
+    lin = (rel[..., 0] * L + rel[..., 1]) * L + rel[..., 2]
+    out = jnp.zeros(lin.shape, jnp.float32)
+    for j in range(L * L * L):
+        out = out + jnp.where(lin == j, vals[j], 0.0)
+    return out
+
+
+def _light_term_reference(grid, sample_local, light_local, params, lut=None):
+    """Literal port of computeLightContribution (path_compute_color.comp:9-31).
+
+    ``lut``: optional (base, vals, radius) shadow LUT — bit-equal to the
+    gather (requires radius >= ceil(step); the engine guarantees it).
+    """
     ray_local = light_local - sample_local
     length = jnp.linalg.norm(ray_local, axis=-1)
     ray_dir = ray_local / jnp.where(length[..., None] > 0, length[..., None], 1.0)
     n_steps = (length / params.ray_marching_step_size).astype(jnp.int32)
     probe = light_local + ray_dir * params.ray_marching_step_size
-    val = grid.sample_nearest(probe)
+    if lut is None:
+        val = grid.sample_nearest(probe)
+    else:
+        base, vals, radius = lut
+        val = _lut_lookup(probe, base, vals, radius)
     # N identical attenuations == exp(-val * abs * dt * N).
     return (params.photon_initial_intensity / 10000.0) * jnp.exp(
         -val
@@ -69,16 +166,17 @@ def _light_term_corrected(grid, sample_local, light_local, params, n_shadow: int
     return (params.photon_initial_intensity / 10000.0) * jnp.exp(-od)
 
 
-def render_frame(
-    grid: DenseGrid,
-    params: RenderParams,
-    frame_count,
-    config: StaticConfig,
-    max_steps: int,
-    row_start=0,
-    num_rows: int | None = None,
-) -> jax.Array:
-    """One PATH frame. Returns (num_rows, W) scalar radiance in [0, 1]."""
+def _light_term(grid, pos, light_local, params, config, lut, n_shadow):
+    if config.fidelity is Fidelity.REFERENCE:
+        return _light_term_reference(grid, pos, light_local, params, lut)
+    return _light_term_corrected(grid, pos, light_local, params, n_shadow)
+
+
+# ---------------------------------------------------------------------------
+# camera rays / seeds
+
+
+def _camera_setup(grid, params, config, row_start, num_rows):
     H, W = config.height, config.width
     rows = H if num_rows is None else num_rows
     o_w, d_w = camera.camera_rays(
@@ -89,7 +187,10 @@ def render_frame(
     o_i = grid.world_to_index(o_w.reshape(-1, 3))
     d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
     d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
+    return o_i, d_i, rows
 
+
+def _seeds(W, rows, row_start, frame_count, n_pad):
     # Per-pixel RNG seed = uvec3(px, py, 0) * frameCount
     # (path_compute_color.comp:36-37; gid.x is the column, gid.y the global
     # image row — row_start keeps seeds shard-invariant).
@@ -98,119 +199,360 @@ def render_frame(
         jnp.asarray(row_start, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32), W
     )
     seeds = rng.make_seed(px, py, jnp.zeros_like(px), frame_count)
+    return jnp.pad(seeds, ((0, n_pad - seeds.shape[0]), (0, 0)))
 
-    light_local = grid.world_to_index(params.light_source_world_pos)
 
-    n_rays = rows * W
-    tile = min(config.ray_tile, n_rays)
+def _pad_rays(o_i, d_i, tile):
+    n_rays = o_i.shape[0]
     pad = (-n_rays) % tile
     o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
     d_i = jnp.concatenate(
         [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
     )
-    seeds = jnp.pad(seeds, ((0, pad), (0, 0)))
-    n_tiles = (n_rays + pad) // tile
+    return o_i, d_i, n_rays + pad
 
+
+# ---------------------------------------------------------------------------
+# segment 1: bake + consume
+
+
+def _seg1_planes(grid, params, config, lut, S, o, d):
+    """Frame-invariant planes for a tile of camera rays."""
+    n = o.shape[0]
+    step = params.ray_marching_step_size
+    hit, tmin, tmax = intersect.intersect_aabb(
+        o, d, grid.box_min_f, grid.box_max_f,
+        jnp.zeros((n,)), jnp.full((n,), params.ray_max_distance),
+    )
+    # Entry-face disambiguation (ops.march.ENTRY_EPS).
+    tmin = jnp.where(hit, tmin, 0.0) + ENTRY_EPS * step
+    live = hit & (tmax > tmin)
+    ks = jnp.arange(S, dtype=jnp.float32)
+    t = t_grid(tmin, ks, step)
+    pos = ray_positions(o, d, t)
+    val = grid.sample_nearest(pos)
+    light_local = grid.world_to_index(params.light_source_world_pos)
+    roll_site = (val > 0.0) & live[:, None] & (t < tmax[:, None])
+    light_in = _light_term(grid, pos, light_local, params, config, lut, S)
+    d_c = jnp.where(roll_site, val * step * light_in, 0.0)
+    prefix = jnp.cumsum(d_c, axis=-1)
+    return tmin, tmax, live, roll_site, prefix
+
+
+def _seg1_frame(params, S, o, d, tmin, tmax, live, roll_site, prefix, seed0):
+    """Per-frame camera segment from baked planes: RNG + prefix lookup only.
+
+    Returns (color, origin2, dir2, seed_draws2, alive2) — the walk state
+    entering segment 2.  Matches the full march bit-for-bit: the scatter
+    site is the first roll site whose draw (at its occupancy rank) is
+    below the scattering probability, the color is the contribution
+    prefix at that site (or the full prefix when no scatter), and the
+    re-origin position is o + d*t(k*) with pinned rounding.
+    """
     step = params.ray_marching_step_size
     prob = params.scattering_probability
-    S = max_steps
+    occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
+    roll = rng.randf_at(seed0[:, None, :], occ_rank)
+    scatter = roll_site & (roll < prob)
+    any_sc = jnp.any(scatter, axis=-1)
+    k_star = jnp.argmax(scatter, axis=-1)
+    pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
+    color = jnp.where(any_sc, pick(prefix), prefix[:, -1])
+    draws = jnp.where(any_sc, pick(occ_rank), occ_rank[:, -1]).astype(jnp.uint32)
+    nd1 = rng.randf_at(seed0, draws + 1)
+    nd2 = rng.randf_at(seed0, draws + 2)
+    new_dir = rng.random_dir(nd1, nd2)  # index space, as in reference
+    t_sc = t_grid(tmin, k_star.astype(jnp.float32)[:, None], step)  # (n, 1)
+    scat_pos = ray_positions(o, d, t_sc)[:, 0, :]
+    origin2 = jnp.where(any_sc[:, None], scat_pos, o)
+    dir2 = jnp.where(any_sc[:, None], new_dir, d)
+    seed_draws2 = draws + jnp.where(any_sc, jnp.uint32(2), jnp.uint32(0))
+    alive2 = live & any_sc
+    return color, origin2, dir2, seed_draws2, alive2
+
+
+# ---------------------------------------------------------------------------
+# scatter segments (2..max_path_segments)
+
+
+def _walk_chunk(grid, params, config, lut, S, light_local,
+                o, d, seed0, seed_draws, tmax, alive):
+    """One scatter segment for a chunk of rays: t0 = step (the reference
+    resets currentT on scatter), march to the per-ray original tmax.
+    Returns (d_color, origin', dir', seed_draws', alive')."""
+    step = params.ray_marching_step_size
+    prob = params.scattering_probability
+    n = o.shape[0]
     ks = jnp.arange(S, dtype=jnp.float32)
+    t = t_grid(jnp.full((n,), 1.0, jnp.float32) * step, ks, step)
+    pos = ray_positions(o, d, t)
+    val = grid.sample_nearest(pos)
+    roll_site = (val > 0.0) & alive[:, None] & (t < tmax[:, None])
+    occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
+    roll = rng.randf_at(seed0[:, None, :], seed_draws[:, None] + occ_rank)
+    scatter = roll_site & (roll < prob)
+    any_sc = jnp.any(scatter, axis=-1)
+    k_star = jnp.argmax(scatter, axis=-1)
+    pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
+    # Contributions: occupied sites with no scatter strictly before them
+    # (the scatter site itself still adds dC after the redirect,
+    # path_compute_color.comp:106-110).
+    before = jnp.cumsum(scatter.astype(jnp.int32), axis=-1) - scatter
+    contrib = roll_site & (before == 0)
+    light_in = _light_term(grid, pos, light_local, params, config, lut, S)
+    d_color = jnp.sum(jnp.where(contrib, val * step * light_in, 0.0), axis=-1)
+    draws = jnp.where(any_sc, pick(occ_rank), occ_rank[:, -1]).astype(jnp.uint32)
+    nd1 = rng.randf_at(seed0, seed_draws + draws + 1)
+    nd2 = rng.randf_at(seed0, seed_draws + draws + 2)
+    new_dir = rng.random_dir(nd1, nd2)
+    scat_pos = jnp.take_along_axis(pos, k_star[:, None, None], axis=1)[:, 0, :]
+    return (
+        d_color,
+        jnp.where(any_sc[:, None], scat_pos, o),
+        jnp.where(any_sc[:, None], new_dir, d),
+        seed_draws + draws + jnp.where(any_sc, jnp.uint32(2), jnp.uint32(0)),
+        alive & any_sc,
+    )
 
-    def trace_tile(inputs):
-        o, d, seed0 = inputs
-        n = o.shape[0]
-        hit, tmin, tmax = intersect.intersect_aabb(
-            o,
-            d,
-            grid.box_min_f,
-            grid.box_max_f,
-            jnp.zeros((n,)),
-            jnp.full((n,), params.ray_max_distance),
-        )
-        # Entry-face disambiguation (see ops.march.ENTRY_EPS).
-        from ..ops.march import ENTRY_EPS
 
-        tmin = jnp.where(hit, tmin, 0.0) + ENTRY_EPS * step
+def _chunk_for(n: int, tile: int) -> int:
+    """Largest chunk <= tile dividing n (caps are multiples of 1024, so
+    the halving search terminates at or above 1024)."""
+    c = min(tile, n)
+    while n % c:
+        c //= 2
+    return c
 
-        def segment(carry):
-            seg_i, origin, direction, t0, seed_draws, color, alive = carry
-            t = t0[:, None] + ks[None, :] * step
-            pos = origin[:, None, :] + direction[:, None, :] * t[:, :, None]
-            val = grid.sample_nearest(pos)
-            occ = val > 0.0
-            entered = alive[:, None] & (t < tmax[:, None])
-            roll_site = occ & entered
 
-            occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-            roll = rng.randf_at(
-                seed0[:, None, :], seed_draws[:, None] + occ_rank
-            )
-            scatter = roll_site & (roll < prob)
-            any_scatter = jnp.any(scatter, axis=-1)
-            k_star = jnp.argmax(scatter, axis=-1)
-            pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
+def _walk_segment(grid, params, config, lut, S, light_local,
+                  o, d, seed0, seed_draws, tmax, alive):
+    """_walk_chunk tiled over ray chunks (bounds the (chunk, S) gather
+    temporaries; n is a multiple of the chunk size by construction)."""
+    n = o.shape[0]
+    chunk = _chunk_for(n, config.ray_tile)
+    if n == chunk:
+        return _walk_chunk(grid, params, config, lut, S, light_local,
+                           o, d, seed0, seed_draws, tmax, alive)
+    m = n // chunk
+    r3 = lambda a: a.reshape(m, chunk, 3)
+    r1 = lambda a: a.reshape(m, chunk)
+    out = jax.lax.map(
+        lambda args: _walk_chunk(grid, params, config, lut, S, light_local,
+                                 *args),
+        (r3(o), r3(d), r3(seed0), r1(seed_draws), r1(tmax), r1(alive)),
+    )
+    dc, o2, d2, sd2, al2 = out
+    return (dc.reshape(n), o2.reshape(n, 3), d2.reshape(n, 3),
+            sd2.reshape(n), al2.reshape(n))
 
-            # Contributions: occupied voxels with no scatter strictly before
-            # them (the scatter voxel itself still adds dC after the
-            # redirect, path_compute_color.comp:106-110).
-            before = jnp.cumsum(scatter.astype(jnp.int32), axis=-1) - scatter
-            contrib_mask = roll_site & (before == 0)
-            if config.fidelity is Fidelity.REFERENCE:
-                light_in = _light_term_reference(grid, pos, light_local, params)
-            else:
-                light_in = _light_term_corrected(
-                    grid, pos, light_local, params, n_shadow=S
+
+def _compact_indices(alive, cap):
+    """Indices of the first ``cap`` alive rows (in order) + validity mask.
+
+    Built with a cumsum + scatter (no sort): row i with alive rank r < cap
+    lands at slot r.  Exact when the alive count fits the cap — the caller
+    guards that with a lax.cond."""
+    n = alive.shape[0]
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    tgt = jnp.where(alive & (pos < cap), pos, cap)
+    idx = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    )
+    count = jnp.sum(alive.astype(jnp.int32))
+    valid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(count, cap)
+    return idx, valid
+
+
+def _scatter_segments(grid, params, config, lut, S, light_local,
+                      seed0, state):
+    """Unrolled segments 2..max_path_segments, each marching only the
+    alive rays (module docstring, level 3): compact the alive indices
+    (cumsum + scatter, order-preserving), then a ``while_loop`` walks a
+    DYNAMIC number of fixed-width chunks of the compacted list — one
+    compiled gather shape regardless of the alive count, adaptive to any
+    scene, and exact (no ray is ever dropped; padding rows are masked).
+
+    Tiny images (n_pad <= path_compact_min) skip the compaction plumbing
+    and march full-width."""
+    color, o, d, seed_draws, tmax, alive = state
+    n_pad = o.shape[0]
+
+    if n_pad <= config.path_compact_min:
+        for _k in range(2, config.max_path_segments + 1):
+            count = jnp.sum(alive.astype(jnp.int32))
+
+            def full_pass(args):
+                color, o, d, seed_draws, alive = args
+                dc, o2, d2, sd2, al2 = _walk_segment(
+                    grid, params, config, lut, S, light_local,
+                    o, d, seed0, seed_draws, tmax, alive,
                 )
-            d_c = jnp.where(contrib_mask, val * step * light_in, 0.0)
-            color = color + jnp.sum(d_c, axis=-1)
+                return (color + dc, o2, d2, sd2, al2)
 
-            draws_in_seg = jnp.where(
-                any_scatter,
-                pick(occ_rank),
-                occ_rank[:, -1],
-            ).astype(jnp.uint32)
+            color, o, d, seed_draws, alive = jax.lax.cond(
+                count > 0, full_pass, lambda a: a,
+                (color, o, d, seed_draws, alive),
+            )
+        return color
 
-            nd1 = rng.randf_at(seed0, seed_draws + draws_in_seg + 1)
-            nd2 = rng.randf_at(seed0, seed_draws + draws_in_seg + 2)
-            new_dir = rng.random_dir(nd1, nd2)  # index space, as in reference
-            scat_pos = jnp.take_along_axis(pos, k_star[:, None, None], axis=1)[
-                :, 0, :
-            ]
+    W = _chunk_for(n_pad, max(32, config.path_chunk))
+    lanes = jnp.arange(W, dtype=jnp.int32)
 
+    for _k in range(2, config.max_path_segments + 1):
+        idx, _valid = _compact_indices(alive, n_pad)
+        count = jnp.sum(alive.astype(jnp.int32))
+        n_chunks = (count + W - 1) // W
+
+        def body(carry):
+            j, color, o, d, seed_draws, alive = carry
+            idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
+            row_valid = (j * W + lanes) < count
+            take = lambda a: jnp.take(a, idc, axis=0, mode="clip")
+            dc, o2, d2, sd2, al2 = _walk_chunk(
+                grid, params, config, lut, S, light_local,
+                take(o), take(d), take(seed0), take(seed_draws),
+                take(tmax), take(alive) & row_valid,
+            )
+            # Scatter back; padding rows are routed out of bounds and
+            # dropped (a duplicate in-bounds write would race row 0).
+            up = jnp.where(row_valid, idc, n_pad)
+            put = lambda a, v: a.at[up].set(v, mode="drop")
             return (
-                seg_i + 1,
-                jnp.where(any_scatter[:, None], scat_pos, origin),
-                jnp.where(any_scatter[:, None], new_dir, direction),
-                jnp.where(any_scatter, step, t0),
-                seed_draws
-                + draws_in_seg
-                + jnp.where(any_scatter, jnp.uint32(2), jnp.uint32(0)),
-                color,
-                alive & any_scatter,
+                j + 1,
+                color.at[up].add(jnp.where(row_valid, dc, 0.0), mode="drop"),
+                put(o, o2), put(d, d2), put(seed_draws, sd2),
+                put(alive, al2),
             )
 
-        def cond(carry):
-            seg_i, *_, alive = carry
-            return jnp.any(alive) & (seg_i < config.max_path_segments)
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            o,
-            d,
-            tmin,
-            jnp.zeros((n,), jnp.uint32),
-            jnp.zeros((n,)),
-            hit & (tmax > tmin),
+        _, color, o, d, seed_draws, alive = jax.lax.while_loop(
+            lambda c: c[0] < n_chunks, body,
+            (jnp.zeros((), jnp.int32), color, o, d, seed_draws, alive),
         )
-        final = jax.lax.while_loop(cond, segment, init)
-        return final[5]
+    return color
 
-    colors = jax.lax.map(
-        trace_tile,
-        (
-            o_i.reshape(n_tiles, tile, 3),
-            d_i.reshape(n_tiles, tile, 3),
-            seeds.reshape(n_tiles, tile, 3),
-        ),
-    ).reshape(-1)[:n_rays]
-    return jnp.clip(colors, 0.0, 1.0).reshape(rows, W)
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def bake_path_view(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    max_steps: int,
+    row_start=0,
+    num_rows: int | None = None,
+    shadow_lut_radius: int = 0,
+) -> PathView:
+    """Bake the frame-invariant camera-segment planes (see PathView).
+
+    Rebuild whenever camera/volume/march/light parameters change (the
+    engine keys this); the scattering probability and frame counter are
+    per-frame inputs and are NOT baked.
+    """
+    S = max_steps
+    o_i, d_i, rows = _camera_setup(grid, params, config, row_start, num_rows)
+    tile = min(config.ray_tile, rows * config.width)
+    o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
+    lut = _make_lut(grid, params, config, shadow_lut_radius)
+    m = n_pad // tile
+    tmin, tmax, live, roll_site, prefix = jax.lax.map(
+        lambda args: _seg1_planes(grid, params, config, lut, S, *args),
+        (o_i.reshape(m, tile, 3), d_i.reshape(m, tile, 3)),
+    )
+    return PathView(
+        o_i=o_i,
+        d_i=d_i,
+        tmin=tmin.reshape(n_pad),
+        tmax=tmax.reshape(n_pad),
+        live=live.reshape(n_pad),
+        roll_site=roll_site.reshape(n_pad, S),
+        prefix=prefix.reshape(n_pad, S),
+    )
+
+
+def _make_lut(grid, params, config, shadow_lut_radius):
+    if shadow_lut_radius <= 0 or config.fidelity is not Fidelity.REFERENCE:
+        return None
+    light_local = grid.world_to_index(params.light_source_world_pos)
+    base, vals = _shadow_lut(grid, light_local, shadow_lut_radius)
+    return (base, vals, shadow_lut_radius)
+
+
+def render_frame(
+    grid: DenseGrid,
+    params: RenderParams,
+    frame_count,
+    config: StaticConfig,
+    max_steps: int,
+    row_start=0,
+    num_rows: int | None = None,
+    shadow_lut_radius: int = 0,
+    cache: PathView | None = None,
+) -> jax.Array:
+    """One PATH frame. Returns (num_rows, W) scalar radiance in [0, 1].
+
+    ``shadow_lut_radius``: enable the exact shadow-probe LUT (must satisfy
+    radius >= ceil(step); 0 disables — the engine passes ceil(step) when
+    it fits ``config.shadow_lut_max_radius``).  ``cache``: a PathView from
+    ``bake_path_view`` (same row window) — skips the camera-segment march
+    entirely; semantics identical.
+    """
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    n_rays = rows * W
+    S = max_steps
+    lut = _make_lut(grid, params, config, shadow_lut_radius)
+    light_local = grid.world_to_index(params.light_source_world_pos)
+
+    if cache is None:
+        o_i, d_i, rows = _camera_setup(grid, params, config, row_start, num_rows)
+        tile = min(config.ray_tile, n_rays)
+        o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
+        seeds = _seeds(W, rows, row_start, frame_count, n_pad)
+        m = n_pad // tile
+
+        def tile_seg1(args):
+            o, d, s0 = args
+            tmin, tmax, live, roll_site, prefix = _seg1_planes(
+                grid, params, config, lut, S, o, d
+            )
+            out = _seg1_frame(params, S, o, d, tmin, tmax, live,
+                              roll_site, prefix, s0)
+            return (*out, tmax)
+
+        color, o2, d2, sd2, al2, tmax = jax.lax.map(
+            tile_seg1,
+            (o_i.reshape(m, tile, 3), d_i.reshape(m, tile, 3),
+             seeds.reshape(m, tile, 3)),
+        )
+        color = color.reshape(n_pad)
+        state = (color, o2.reshape(n_pad, 3), d2.reshape(n_pad, 3),
+                 sd2.reshape(n_pad), tmax.reshape(n_pad), al2.reshape(n_pad))
+    else:
+        n_pad = cache.o_i.shape[0]
+        tile = min(config.ray_tile, n_pad)
+        seeds = _seeds(W, rows, row_start, frame_count, n_pad)
+        m = n_pad // tile
+        r3 = lambda a: a.reshape(m, tile, 3)
+        r1 = lambda a: a.reshape(m, tile)
+        r2 = lambda a: a.reshape(m, tile, S)
+        color, o2, d2, sd2, al2 = jax.lax.map(
+            lambda args: _seg1_frame(params, S, *args),
+            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
+             r1(cache.live), r2(cache.roll_site), r2(cache.prefix),
+             r3(seeds)),
+        )
+        state = (color.reshape(n_pad), o2.reshape(n_pad, 3),
+                 d2.reshape(n_pad, 3), sd2.reshape(n_pad), cache.tmax,
+                 al2.reshape(n_pad))
+
+    if config.max_path_segments > 1:
+        color = _scatter_segments(
+            grid, params, config, lut, S, light_local, seeds, state
+        )
+    else:
+        color = state[0]
+    return jnp.clip(color[:n_rays], 0.0, 1.0).reshape(rows, W)
