@@ -13,8 +13,8 @@ all: native
 
 native: $(NATIVE)/libvdbio.so
 
-$(NATIVE)/libvdbio.so: $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/imageio.cpp $(NATIVE)/lz4_blosc.h
-	$(CXX) $(CXXFLAGS) $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/imageio.cpp -o $@ -lz
+$(NATIVE)/libvdbio.so: $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/vdb_write.cpp $(NATIVE)/imageio.cpp $(NATIVE)/lz4_blosc.h
+	$(CXX) $(CXXFLAGS) $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/vdb_write.cpp $(NATIVE)/imageio.cpp -o $@ -lz
 
 test: native
 	python -m pytest tests/ -q

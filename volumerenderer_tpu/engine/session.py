@@ -328,11 +328,22 @@ class Renderer:
             n_rays=n_rays,
             rows=H,
         )
+    # HBM budget for PATH's baked camera segment (PathView holds two
+    # rays x steps planes); beyond it PATH renders uncached (the scatter
+    # segments still run compacted either way).
+    path_cache_budget_bytes: int = 1 << 31
+
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
         if self.algorithm is Algorithm.PATH:
             lut_r = self._shadow_lut_radius()
-            if self.use_view_cache:
+            cache_bytes = (
+                self.config.width * self.config.height * max_steps * 5
+            )
+            if (
+                self.use_view_cache
+                and cache_bytes <= self.path_cache_budget_bytes
+            ):
                 cache = self._current_path_view(max_steps, lut_r)
                 for _ in range(n):
                     self.state, self.lights = render_path_step_cached(

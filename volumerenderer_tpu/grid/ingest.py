@@ -88,6 +88,29 @@ def save_nvdb(grid: DenseGrid, path: str, grid_name: str = "density",
     )
 
 
+def save_vdb(grid: DenseGrid, path: str, grid_name: str = "density",
+             compression: str = "zip+mask") -> None:
+    """Export a DenseGrid as an OpenVDB .vdb file (native/vdb_write.cpp).
+
+    ``compression``: "none" | "zip" | "zip+mask" | "blosc" | "blosc+mask".
+    NOTE: exports the padded voxel array (grid.voxels is brick-padded);
+    zero padding voxels are inactive, so a reload reconstructs the same
+    active set."""
+    from . import vdbio_native
+
+    vdbio_native.write_vdb(
+        path,
+        (
+            np.asarray(grid.voxels),
+            np.asarray(grid.bbox_min),
+            np.asarray(grid.map_mat, np.float64),
+            np.asarray(grid.map_vec, np.float64),
+            grid_name,
+        ),
+        compression,
+    )
+
+
 def save_npz(grid: DenseGrid, path: str) -> None:
     np.savez_compressed(
         path,

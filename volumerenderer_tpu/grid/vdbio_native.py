@@ -19,7 +19,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libvdbio.so"))
 _SRCS = [
     os.path.abspath(os.path.join(_NATIVE_DIR, f))
-    for f in ("vdbio.cpp", "vdb_read.cpp", "imageio.cpp")
+    for f in ("vdbio.cpp", "vdb_read.cpp", "vdb_write.cpp", "imageio.cpp")
 ]
 _lock = threading.Lock()
 _lib = None
@@ -67,6 +67,12 @@ def lib() -> ctypes.CDLL:
         L.vdbio_read_vdb.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, c_f32pp, c_i64p, c_i32p, c_dp,
             c_dp, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        L.vdbio_write_vdb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), c_i64p, c_i32p,
+            c_dp, c_dp, ctypes.POINTER(ctypes.c_char_p), ctypes.c_uint32,
+            ctypes.c_char_p, ctypes.c_int,
         ]
         L.vdbio_free.argtypes = [ctypes.c_void_p]
         _lib = L
@@ -178,6 +184,55 @@ def write_nvdb(
     )
     if rc:
         raise IOError(f"write_nvdb({path}): {err.value.decode()}")
+
+
+def write_vdb(
+    path: str,
+    grids,
+    compression: str = "zip+mask",
+) -> None:
+    """Write an OpenVDB ``.vdb`` file (native/vdb_write.cpp — the
+    framework's VDB export, and the independent second encoder the reader
+    is cross-checked against).
+
+    ``grids``: either a single tuple or a list of tuples
+    ``(dense (nx,ny,nz) f32, bbox_min, mat 3x3 | None, vec, name)`` —
+    multiple tuples produce a multi-grid file.
+    ``compression``: "none" | "zip" | "zip+mask" | "blosc" | "blosc+mask".
+    """
+    L = lib()
+    if isinstance(grids, tuple):
+        grids = [grids]
+    flags = 0
+    if "zip" in compression:
+        flags |= 1
+    if "mask" in compression:
+        flags |= 2
+    if "blosc" in compression:
+        flags |= 4
+    n = len(grids)
+    keep = []  # keep contiguous arrays alive for the call
+    datas = (ctypes.POINTER(ctypes.c_float) * n)()
+    dims = (ctypes.c_int64 * (3 * n))()
+    bmins = (ctypes.c_int32 * (3 * n))()
+    mats = (ctypes.c_double * (9 * n))()
+    vecs = (ctypes.c_double * (3 * n))()
+    names = (ctypes.c_char_p * n)()
+    for i, (dense, bbox_min, mat, vec, name) in enumerate(grids):
+        dense = np.ascontiguousarray(dense, np.float32)
+        keep.append(dense)
+        datas[i] = dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        dims[3 * i: 3 * i + 3] = [int(s) for s in dense.shape]
+        bmins[3 * i: 3 * i + 3] = [int(b) for b in bbox_min]
+        m = np.eye(3) if mat is None else np.asarray(mat, np.float64)
+        mats[9 * i: 9 * i + 9] = list(m.reshape(-1))
+        vecs[3 * i: 3 * i + 3] = list(np.asarray(vec, np.float64))
+        names[i] = name.encode()
+    err = ctypes.create_string_buffer(512)
+    rc = L.vdbio_write_vdb(path.encode(), n, datas, dims, bmins, mats, vecs,
+                           names, flags, err, 512)
+    if rc:
+        raise IOError(f"write_vdb({path}): {err.value.decode()}")
 
 
 def blob_from_dense(

@@ -513,7 +513,7 @@ bool parse_vdb(const uint8_t* buf, size_t len, const char* want_name,
       }
       int64_t nx = bmax[0] - bmin[0] + 1, ny = bmax[1] - bmin[1] + 1,
               nz = bmax[2] - bmin[2] + 1;
-      if (nx * ny * nz > (int64_t)1 << 33) {
+      if (nx * ny * nz > (int64_t)1 << 31) {
         r.fail("bbox too large");
         break;
       }
@@ -580,7 +580,14 @@ int vdbio_read_vdb(const char* path, const char* grid_name, float** out_data,
 
   VdbDense d;
   std::string err;
-  if (!parse_vdb(buf.data(), buf.size(), grid_name, &d, &err)) {
+  bool ok;
+  try {
+    ok = parse_vdb(buf.data(), buf.size(), grid_name, &d, &err);
+  } catch (const std::exception& e) {  // e.g. bad_alloc on corrupt sizes
+    ok = false;
+    err = std::string("parse failed: ") + e.what();
+  }
+  if (!ok) {
     std::snprintf(errbuf, errlen, "%s", err.c_str());
     return 1;
   }
