@@ -1,0 +1,119 @@
+"""Full measured-performance matrix for BENCHMARKS.md (run on a QUIET
+host: the interactive view rebuild and dispatch round-trips are host-side
+and skew badly under CPU contention).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_matrix.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(r, frames, warmup):
+    r.step(warmup)
+    np.asarray(r.state.accum)
+    t0 = time.perf_counter()
+    r.step(frames)
+    np.asarray(r.state.accum)
+    dt = time.perf_counter() - t0
+    return r.config.width * r.config.height * frames / dt / 1e6, dt / frames
+
+
+def main() -> None:
+    from volumerenderer_tpu import (
+        Algorithm, Renderer, RenderParams, StaticConfig,
+    )
+    from volumerenderer_tpu.grid import procedural
+
+    g96 = procedural.cloud(n=96)
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 20.0, -75.0]),
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+    )
+    rows = []
+
+    def run(label, algo, w, h, grid=None, frames=32, warmup=9, **cfg):
+        r = Renderer(grid if grid is not None else g96,
+                     StaticConfig(width=w, height=h, **cfg), params,
+                     algorithm=algo)
+        mrays, spf = measure(r, frames, warmup)
+        rows.append((label, spf * 1e3, mrays))
+        print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s",
+              flush=True)
+        del r
+
+    A = Algorithm
+    run("Point/VPL 1920x1080 (headline)", A.POINT, 1920, 1080)
+    run("Point/VPL 1280x720", A.POINT, 1280, 720)
+    run("Sphere/VSL 1280x720", A.SPHERE, 1280, 720)
+    run("Ray/VRL 1920x1080 discrete paired (default)", A.RAY, 1920, 1080,
+        frames=16)
+    run("Ray/VRL 1920x1080 discrete exact (bit-parity)", A.RAY, 1920, 1080,
+        frames=8, segment_eval="exact")
+    run("Ray/VRL 1920x1080 analytic", A.RAY, 1920, 1080, frames=16,
+        segment_mode="analytic")
+    run("Beam/VBL 1920x1080 discrete paired (default)", A.BEAM, 1920, 1080,
+        frames=8)
+    run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
+        1080, frames=8, segment_mode="analytic")
+    run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
+
+    g384 = procedural.cloud(n=384)
+    run("Point/VPL 1280x720 on 384^3 (57M voxels)", A.POINT, 1280, 720,
+        grid=g384, frames=16)
+    del g384
+
+    # bunny_cloud-scale stress (577x572x438 = 145M voxels): a 577^3 cloud
+    # cropped to the bunny_cloud active bbox dimensions.
+    from volumerenderer_tpu.grid.dense import from_dense
+
+    big = procedural.cloud(n=577, world_extent=140.0)
+    gb = from_dense(np.asarray(big.voxels)[:577, :572, :438],
+                    voxel_size=140.0 / 577,
+                    translation=np.asarray(big.map_vec))
+    del big
+    run("Point/VPL 1920x1080 on bunny-scale (145M voxels)", A.POINT,
+        1920, 1080, grid=gb, frames=16)
+    del gb
+
+    # Moving camera (uncached view) at the headline config
+    r = Renderer(g96, StaticConfig(width=1920, height=1080), params,
+                 algorithm=A.POINT)
+    for fov in (44.9, 45.0):
+        r.set(fov=fov)
+        r.step(1)
+    np.asarray(r.state.accum)
+    t0 = time.perf_counter()
+    n_moving = 4
+    for i in range(n_moving):
+        r.set(fov=44.9 if i % 2 == 0 else 45.0)
+        r.step(1)
+    np.asarray(r.state.accum)
+    dt = (time.perf_counter() - t0) / n_moving
+    rows.append(("Point/VPL 1080p moving camera (view rebuilt every frame)",
+                 dt * 1e3, 1920 * 1080 / dt / 1e6))
+    print(f"{'Point/VPL 1080p moving camera':55s} {dt*1e3:8.1f} ms "
+          f"{1920*1080/dt/1e6:8.2f} Mrays/s", flush=True)
+
+    with open(os.path.join(os.path.dirname(__file__), os.pardir,
+                           "bench_matrix.json"), "w") as f:
+        json.dump(
+            {"backend": jax.default_backend(),
+             "rows": [{"label": l, "ms_per_frame": round(m, 1),
+                       "mrays": round(x, 2)} for (l, m, x) in rows]},
+            f, indent=2,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,26 @@ def test_procedural_volumes_shape():
         v = np.asarray(g.voxels)
         assert v.max() > 0 and v.min() == 0.0
         assert all(s % BRICK == 0 for s in v.shape)
+
+
+def test_transforms_never_lower_to_matmul():
+    """Affine transforms must compile to elementwise VPU ops, never a
+    dot_general: on TPU the MXU's DEFAULT precision rounds f32 operands
+    to bf16, which silently cost ~8 mantissa bits on every camera origin,
+    ray direction, and world-space sample position (caught in round 2 as
+    a 0.96 SSIM gap vs the oracle at 256^2 — voxel-floor flips plus
+    %-level light distances)."""
+    import jax
+
+    from volumerenderer_tpu.ops import camera
+
+    g, _ = small_grid()
+    p = jnp.zeros((4, 3), jnp.float32)
+    for fn in (g.world_to_index, g.index_to_world, g.world_to_index_dir):
+        jaxpr = str(jax.make_jaxpr(fn)(p))
+        assert "dot_general" not in jaxpr, jaxpr
+    rot = jnp.eye(3, dtype=jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda r: camera.camera_rays(8, 8, 45.0, jnp.zeros(3), look_rotation=r)
+    )(rot))
+    assert "dot_general" not in jaxpr, jaxpr

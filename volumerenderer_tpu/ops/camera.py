@@ -51,7 +51,17 @@ def camera_rays(
     y = jnp.broadcast_to(y, (num_rows, width))
     d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     if look_rotation is not None:
-        d = jnp.einsum("ij,hwj->hwi", look_rotation, d)
+        # Explicit matvec (see grid.transforms._matvec3): an einsum here
+        # would hit the MXU at default bf16 precision on TPU.
+        m = look_rotation
+        d = jnp.stack(
+            [
+                m[0, 0] * d[..., 0] + m[0, 1] * d[..., 1] + m[0, 2] * d[..., 2],
+                m[1, 0] * d[..., 0] + m[1, 1] * d[..., 1] + m[1, 2] * d[..., 2],
+                m[2, 0] * d[..., 0] + m[2, 1] * d[..., 1] + m[2, 2] * d[..., 2],
+            ],
+            axis=-1,
+        )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.broadcast_to(jnp.asarray(camera_pos, jnp.float32), d.shape)
     return o, d
