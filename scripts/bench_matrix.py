@@ -73,17 +73,31 @@ def main() -> None:
         grid=g384, frames=16)
     del g384
 
-    # bunny_cloud-scale stress (577x572x438 = 145M voxels): a 577^3 cloud
-    # cropped to the bunny_cloud active bbox dimensions.
+    # bunny_cloud-scale stress (577x572x438 = 145M voxels): a THIN-SHELL
+    # volume like the real bunny_cloud (big empty interior), built on
+    # device (ellipsoid SDF shell x low-res noise upsampled with
+    # jax.image.resize).
     from volumerenderer_tpu.grid.dense import from_dense
 
-    big = procedural.cloud(n=577, world_extent=140.0)
-    gb = from_dense(np.asarray(big.voxels)[:577, :572, :438],
-                    voxel_size=140.0 / 577,
-                    translation=np.asarray(big.map_vec))
-    del big
-    run("Point/VPL 1920x1080 on bunny-scale (145M voxels)", A.POINT,
-        1920, 1080, grid=gb, frames=16)
+    dims = (577, 572, 438)
+    ax = [jnp.linspace(-1, 1, n, dtype=jnp.float32) for n in dims]
+    x = ax[0][:, None, None]
+    y = ax[1][None, :, None]
+    z = ax[2][None, None, :]
+    d = jnp.sqrt((x / 0.62) ** 2 + ((y + 0.2) / 0.55) ** 2
+                 + (z / 0.58) ** 2) - 1.0
+    key = jax.random.PRNGKey(42)
+    noise = jax.image.resize(jax.random.uniform(key, (48, 48, 48)),
+                             dims, "trilinear")
+    shell = jnp.exp(-jnp.abs(d) * 8.0) * (d < 0.1) * (0.3 + 0.7 * noise)
+    vol = jnp.where(shell < 0.03, 0.0, shell).astype(jnp.float32)
+    gb = from_dense(np.asarray(vol), voxel_size=70.0 / 577,
+                    translation=(-35.0, -15.0, -10.0))
+    occ = float(jnp.mean((vol > 0).astype(jnp.float32)))
+    del vol, shell, noise, d
+    print(f"bunny-scale shell occupancy: {occ*100:.1f}%", flush=True)
+    run("Point/VPL 1920x1080 on bunny-scale thin shell (145M voxels)",
+        A.POINT, 1920, 1080, grid=gb, frames=16)
     del gb
 
     # Moving camera (uncached view) at the headline config
