@@ -149,6 +149,11 @@ class StaticConfig:
     # on the last chunk, larger = fewer sequential loop iterations.
     # 2048 measured best at 256^2-1080p scales on v5e.
     path_chunk: int = 2048
+    # Sample-axis sub-block of the scatter-segment march: each chunk
+    # early-exits once every ray has scattered or left the volume, so
+    # typical segments fetch 2-4 sub-blocks instead of the worst-case
+    # march length (render.path._walk_chunk).
+    path_subblock: int = 32
     # PATH shadow-probe LUT (render.path): the REFERENCE-fidelity light
     # term reads one voxel within ``step`` of the light, replaceable by a
     # (2R+1)^3 arithmetic-select LUT with R = ceil(step) — bit-exact, no

@@ -279,33 +279,79 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
                 o, d, seed0, seed_draws, tmax, alive):
     """One scatter segment for a chunk of rays: t0 = step (the reference
     resets currentT on scatter), march to the per-ray original tmax.
-    Returns (d_color, origin', dir', seed_draws', alive')."""
+    Returns (d_color, origin', dir', seed_draws', alive').
+
+    The sample axis runs in SUB-BLOCKS under a ``while_loop`` that stops
+    as soon as every ray in the chunk is resolved — scattered, past its
+    own box exit (density is exactly 0 beyond, so no further roll site
+    can exist), or past tmax.  Typical segments resolve in 2-4 blocks of
+    the worst-case S/32, cutting the chunk's gather volume accordingly;
+    results are exact (skipped blocks are provably all-masked)."""
     step = params.ray_marching_step_size
     prob = params.scattering_probability
     n = o.shape[0]
-    ks = jnp.arange(S, dtype=jnp.float32)
-    t = t_grid(jnp.full((n,), 1.0, jnp.float32) * step, ks, step)
-    pos = ray_positions(o, d, t)
-    val = grid.sample_nearest(pos)
-    roll_site = (val > 0.0) & alive[:, None] & (t < tmax[:, None])
-    occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-    roll = rng.randf_at(seed0[:, None, :], seed_draws[:, None] + occ_rank)
-    scatter = roll_site & (roll < prob)
-    any_sc = jnp.any(scatter, axis=-1)
-    k_star = jnp.argmax(scatter, axis=-1)
-    pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
-    # Contributions: occupied sites with no scatter strictly before them
-    # (the scatter site itself still adds dC after the redirect,
-    # path_compute_color.comp:106-110).
-    before = jnp.cumsum(scatter.astype(jnp.int32), axis=-1) - scatter
-    contrib = roll_site & (before == 0)
-    light_in = _light_term(grid, pos, light_local, params, config, lut, S)
-    d_color = jnp.sum(jnp.where(contrib, val * step * light_in, 0.0), axis=-1)
-    draws = jnp.where(any_sc, pick(occ_rank), occ_rank[:, -1]).astype(jnp.uint32)
+    SB = min(max(8, config.path_subblock), S)
+    n_sb = -(-S // SB)
+    t0 = jnp.full((n,), 1.0, jnp.float32) * step
+    # Per-row stop distance: box exit from the segment origin (origins are
+    # scatter sites inside the volume; a straight ray never re-enters a
+    # convex box), clamped by the original-ray tmax the loop tests.
+    _h, _e0, seg_exit = intersect.intersect_aabb(
+        o, d, grid.box_min_f, grid.box_max_f,
+        jnp.zeros((n,)), jnp.full((n,), params.ray_max_distance),
+    )
+    stop_t = jnp.minimum(tmax, seg_exit)
+
+    def block(carry):
+        j, found, color, rank_base, scat_t, draws_sc, _all_done = carry
+        ks = (j * SB + jnp.arange(SB)).astype(jnp.float32)
+        t = t_grid(t0, ks, step)
+        pos = ray_positions(o, d, t)
+        val = grid.sample_nearest(pos)
+        roll_site = (val > 0.0) & alive[:, None] & (t < tmax[:, None])
+        rank = rank_base[:, None] + jnp.cumsum(
+            roll_site.astype(jnp.uint32), axis=-1
+        )
+        roll = rng.randf_at(seed0[:, None, :], seed_draws[:, None] + rank)
+        scatter = roll_site & (roll < prob) & ~found[:, None]
+        newly = jnp.any(scatter, axis=-1)
+        k_loc = jnp.argmax(scatter, axis=-1)
+        pick = lambda a: jnp.take_along_axis(a, k_loc[:, None], axis=-1)[:, 0]
+        # Contributions: occupied sites with no scatter strictly before
+        # them (the scatter site itself still adds dC after the redirect,
+        # path_compute_color.comp:106-110).
+        before = jnp.cumsum(scatter.astype(jnp.int32), axis=-1) - scatter
+        contrib = roll_site & (before == 0) & ~found[:, None]
+        light_in = _light_term(grid, pos, light_local, params, config, lut, S)
+        color = color + jnp.sum(
+            jnp.where(contrib, val * step * light_in, 0.0), axis=-1
+        )
+        scat_t = jnp.where(newly, pick(t), scat_t)
+        draws_sc = jnp.where(newly, pick(rank), draws_sc)
+        found = found | newly
+        rank_base = rank[:, -1]
+        done = ~alive | found | (t[:, -1] >= stop_t)
+        return (j + 1, found, color, rank_base, scat_t, draws_sc,
+                jnp.all(done))
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.uint32),
+        jnp.full((n,), 1.0, jnp.float32) * step,
+        jnp.zeros((n,), jnp.uint32),
+        jnp.zeros((), bool),
+    )
+    _, found, d_color, rank_total, scat_t, draws_sc, _ = jax.lax.while_loop(
+        lambda c: (c[0] < n_sb) & ~c[6], block, init
+    )
+    any_sc = found
+    draws = jnp.where(any_sc, draws_sc, rank_total)
     nd1 = rng.randf_at(seed0, seed_draws + draws + 1)
     nd2 = rng.randf_at(seed0, seed_draws + draws + 2)
     new_dir = rng.random_dir(nd1, nd2)
-    scat_pos = jnp.take_along_axis(pos, k_star[:, None, None], axis=1)[:, 0, :]
+    scat_pos = ray_positions(o, d, scat_t[:, None])[:, 0, :]
     return (
         d_color,
         jnp.where(any_sc[:, None], scat_pos, o),
