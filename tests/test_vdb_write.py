@@ -24,7 +24,8 @@ def _volume(seed=11, shape=(37, 29, 41)):
 
 
 @pytest.mark.parametrize("comp", ["none", "zip", "zip+mask", "blosc",
-                                  "blosc+mask"])
+                                  "blosc+mask", "none+half", "zip+mask+half",
+                                  "blosc+mask+half"])
 @pytest.mark.parametrize("bmin", [(0, 0, 0), (-5, 3, 7), (-130, -4097, 12345)])
 def test_cpp_writer_roundtrip(tmp_path, comp, bmin):
     dense = _volume()
@@ -33,6 +34,8 @@ def test_cpp_writer_roundtrip(tmp_path, comp, bmin):
     d2, got_bmin, mat, vec, name = vn.read_vdb(p)
     lo = got_bmin - np.asarray(bmin)
     ref = dense[tuple(slice(l, l + s) for l, s in zip(lo, d2.shape))]
+    if "half" in comp:  # saveFloatAsHalf: values quantize to binary16
+        ref = ref.astype(np.float16).astype(np.float32)
     np.testing.assert_array_equal(d2, ref)
     assert name == "density"
     np.testing.assert_allclose(vec, [1.0, -2.0, 0.5])
@@ -73,6 +76,87 @@ def test_cross_encoder_agreement(tmp_path):
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
     np.testing.assert_allclose(a[3], b[3])
+
+
+def test_blosc_frame_cblosc_conformance():
+    """Emitted Blosc1 frames follow the c-blosc header spec (ADVICE r2):
+    flags bit0 = byte-shuffle, bit1 = memcpy'ed, bits 5-7 = compressor
+    format with BLOSC_LZ4_FORMAT == 1; compressible typesize-4 blocks are
+    byte-shuffled and split into 4 [i32 size][payload] sub-streams."""
+    import ctypes
+
+    L = vn.lib()
+    L.vdbio_blosc_compress.restype = ctypes.c_int64
+    L.vdbio_blosc_decompress.restype = ctypes.c_int64
+
+    def compress(data, typesize=4):
+        out = ctypes.create_string_buffer(len(data) + 64)
+        n = L.vdbio_blosc_compress(data, ctypes.c_int64(len(data)), out,
+                                   ctypes.c_int64(len(data) + 64),
+                                   ctypes.c_int(typesize))
+        assert n > 0
+        return out.raw[:n]
+
+    def decompress(frame, nbytes):
+        out = ctypes.create_string_buffer(nbytes)
+        n = L.vdbio_blosc_decompress(frame, ctypes.c_int64(len(frame)), out,
+                                     ctypes.c_int64(nbytes))
+        assert n == nbytes
+        return out.raw[:n]
+
+    # Compressible float block -> shuffled, split LZ4 frame.
+    vals = np.linspace(0, 1, 2048, dtype=np.float32).tobytes()
+    frame = compress(vals)
+    assert frame[0] == 2                       # blosc format version
+    assert frame[2] == (1 << 5) | 0x1          # LZ4 format code + DOSHUFFLE
+    assert frame[3] == 4                       # typesize
+    nbytes, blocksize, cbytes = np.frombuffer(frame[4:16], "<i4")
+    assert (nbytes, blocksize, cbytes) == (len(vals), len(vals), len(frame))
+    assert int(np.frombuffer(frame[16:20], "<i4")[0]) == 20  # bstarts[0]
+    # walk the 4 split sub-streams ([i32 size][payload] each)
+    pos, seen = 20, 0
+    while pos < len(frame):
+        (ps,) = np.frombuffer(frame[pos:pos + 4], "<i4")
+        pos += 4 + int(ps)
+        seen += 1
+    assert pos == len(frame) and seen == 4
+    assert decompress(frame, len(vals)) == vals
+
+    # Incompressible block -> memcpy'ed frame: flag 0x2, raw data at 16.
+    rnd = np.random.RandomState(5).bytes(2048)
+    frame = compress(rnd)
+    assert frame[2] == 0x2
+    assert frame[16:] == rnd
+    assert decompress(frame, len(rnd)) == rnd
+
+
+def test_grid_descriptor_offsets(tmp_path):
+    """All three GridDescriptor offsets are patched: gridPos (body),
+    blockPos (leaf-buffer stream — real OpenVDB seekToBlocks() relies on
+    it), endPos (next grid), with gridPos < blockPos < endPos == EOF."""
+    import struct
+
+    dense = _volume(seed=5, shape=(16, 16, 16))
+    p = str(tmp_path / "d.vdb")
+    vn.write_vdb(p, (dense, (0, 0, 0), None, (0, 0, 0), "g"), "zip+mask")
+    blob = open(p, "rb").read()
+    # header: magic(8) version(4) lib(8) offsets-flag(1) compression(4)
+    # uuid(36), file metamap (count 1: creator), grid count(4)
+    pos = 8 + 4 + 8 + 1 + 4 + 36
+    (n_meta,) = struct.unpack_from("<I", blob, pos); pos += 4
+    for _ in range(n_meta):
+        for _s in range(2):
+            (ln,) = struct.unpack_from("<I", blob, pos); pos += 4 + ln
+        (nb,) = struct.unpack_from("<i", blob, pos); pos += 4 + nb
+    (n_grids,) = struct.unpack_from("<I", blob, pos); pos += 4
+    assert n_grids == 1
+    (ln,) = struct.unpack_from("<I", blob, pos); pos += 4 + ln  # name
+    (ln,) = struct.unpack_from("<I", blob, pos); pos += 4 + ln  # type
+    pos += 1  # half flag
+    grid_pos, block_pos, end_pos = struct.unpack_from("<qqq", blob, pos)
+    assert grid_pos == pos + 24                # body starts after offsets
+    assert grid_pos < block_pos < end_pos
+    assert end_pos == len(blob)
 
 
 @pytest.mark.parametrize("writer", ["cpp", "py"])

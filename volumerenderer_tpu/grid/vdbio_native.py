@@ -198,7 +198,9 @@ def write_vdb(
     ``grids``: either a single tuple or a list of tuples
     ``(dense (nx,ny,nz) f32, bbox_min, mat 3x3 | None, vec, name)`` —
     multiple tuples produce a multi-grid file.
-    ``compression``: "none" | "zip" | "zip+mask" | "blosc" | "blosc+mask".
+    ``compression``: "none" | "zip" | "zip+mask" | "blosc" | "blosc+mask",
+    each optionally with "+half" (saveFloatAsHalf: value buffers narrowed
+    to binary16 like the reference's OpenVDB export option).
     """
     L = lib()
     if isinstance(grids, tuple):
@@ -210,6 +212,8 @@ def write_vdb(
         flags |= 2
     if "blosc" in compression:
         flags |= 4
+    if "half" in compression:
+        flags |= 8
     n = len(grids)
     keep = []  # keep contiguous arrays alive for the call
     datas = (ctypes.POINTER(ctypes.c_float) * n)()

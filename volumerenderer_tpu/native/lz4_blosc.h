@@ -10,8 +10,10 @@
 //   Blosc1 frame: 16-byte header {version, versionlz, flags, typesize,
 //   nbytes(i32), blocksize(i32), cbytes(i32)} followed by a block index of
 //   int32 offsets (one per block) and per-block [i32 compressed-size]
-//   chunks; flags bit1 = shuffle, bits 5-7 = codec id (1 == blosclz,
-//   2 == lz4/lz4hc).
+//   chunks; flags per the c-blosc header spec: bit0 = byte-shuffle
+//   (BLOSC_DOSHUFFLE), bit1 = memcpy'ed frame (BLOSC_MEMCPYED), bit2 =
+//   bit-shuffle (BLOSC_DOBITSHUFFLE, unsupported here), bits 5-7 = codec
+//   id (0 == blosclz, 1 == lz4/lz4hc, 2 == snappy, 3 == zlib, 4 == zstd).
 //
 // Reference parity: the upstream renderer links the real OpenVDB/Blosc
 // stack (src/main.cpp:1157-1215); this is the TPU build's dependency-free
@@ -102,9 +104,21 @@ inline int64_t blosc_decompress(const uint8_t* src, int64_t src_len,
   int32_t blocksize = rd_i32(src + 8);
   int32_t cbytes = rd_i32(src + 12);
   if (nbytes < 0 || nbytes > dst_cap || cbytes > src_len) return -1;
-  bool shuffled = (flags & 0x2) != 0;
-  bool memcpyed = (flags & 0x4) != 0;
+  // c-blosc flag constants: BLOSC_DOSHUFFLE = 0x1, BLOSC_MEMCPYED = 0x2,
+  // BLOSC_DOBITSHUFFLE = 0x4; compressor format code in bits 5-7 with
+  // BLOSC_LZ4_FORMAT == 1 (shared by lz4 and lz4hc).
+  bool shuffled = (flags & 0x1) != 0;
+  bool memcpyed = (flags & 0x2) != 0;
+  if (flags & 0x4) return -1;  // bit-shuffle unsupported
   int codec = (flags >> 5) & 0x7;
+
+  if (memcpyed) {
+    // c-blosc short-circuits memcpy'ed frames: the ORIGINAL (unshuffled)
+    // buffer is stored verbatim at offset 16, shuffle flag ignored.
+    if (16 + nbytes > src_len) return -1;
+    std::memcpy(dst, src + 16, nbytes);
+    return nbytes;
+  }
 
   std::vector<uint8_t> tmp;
   uint8_t* out = dst;
@@ -113,10 +127,7 @@ inline int64_t blosc_decompress(const uint8_t* src, int64_t src_len,
     out = tmp.data();
   }
 
-  if (memcpyed) {
-    if (16 + nbytes > src_len) return -1;
-    std::memcpy(out, src + 16, nbytes);
-  } else {
+  {
     if (blocksize <= 0) return -1;
     int nblocks = (nbytes + blocksize - 1) / blocksize;
     const uint8_t* idx = src + 16;
@@ -132,7 +143,7 @@ inline int64_t blosc_decompress(const uint8_t* src, int64_t src_len,
       // Blosc convention: csize == want means the block is stored raw.
       if (csize == want) {
         std::memcpy(out + (int64_t)b * blocksize, bsrc, want);
-      } else if (codec == 2 || codec == 3) {  // lz4 / lz4hc
+      } else if (codec == 1) {  // BLOSC_LZ4_FORMAT (lz4 / lz4hc)
         // Shuffled blocs compress each typesize plane as its own LZ4
         // stream?  No — blosc compresses the whole (shuffled) block as one
         // LZ4 block per "split" part; splitting occurs for typesize<=
@@ -177,6 +188,65 @@ inline int64_t blosc_decompress(const uint8_t* src, int64_t src_len,
 
   if (shuffled) blosc_unshuffle(out, dst, nbytes, typesize);
   return nbytes;
+}
+
+// ---- IEEE 754 binary16 <-> binary32 ----
+// OpenVDB's saveFloatAsHalf stores node value buffers as half floats
+// (io::RealToHalf in writeCompressedValues); these are the widen/narrow
+// halves used by native/vdb_read.cpp and native/vdb_write.cpp.
+
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;  // signed zero
+    } else {  // subnormal (value = man * 2^-24): renormalize
+      int shift = 0;
+      while (!(man & 0x400)) {
+        man <<= 1;
+        ++shift;
+      }
+      man &= 0x3FF;
+      bits = sign | ((uint32_t)(127 - 14 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+inline uint16_t float_to_half(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  uint32_t sign = (bits >> 16) & 0x8000;
+  uint32_t e8 = (bits >> 23) & 0xFF;
+  uint32_t man = bits & 0x7FFFFF;
+  if (e8 == 0xFF)  // inf / nan (keep nan-ness)
+    return (uint16_t)(sign | 0x7C00 | (man ? 0x200 : 0));
+  int32_t exp = (int32_t)e8 - 127 + 15;
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00);  // overflow -> inf
+  if (exp <= 0) {                                   // subnormal / underflow
+    if (exp < -10) return (uint16_t)sign;
+    man |= 0x800000;  // implicit leading 1
+    int shift = 14 - exp;
+    uint16_t h = (uint16_t)(man >> shift);
+    uint32_t rem = man & ((1u << shift) - 1);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (h & 1))) ++h;  // round-to-even
+    return (uint16_t)(sign | h);
+  }
+  uint16_t h = (uint16_t)(sign | ((uint32_t)exp << 10) | (man >> 13));
+  uint32_t rem = man & 0x1FFF;
+  // round-to-nearest-even; a mantissa carry correctly bumps the exponent
+  if (rem > 0x1000 || (rem == 0x1000 && (h & 1))) ++h;
+  return h;
 }
 
 }  // namespace vdbio

@@ -9,7 +9,8 @@
 //   * FloatGrid with the standard Tree4<float,5,4,3> topology
 //   * transforms: UniformScale/Scale/ScaleTranslate/UniformScaleTranslate/
 //     Translation/Affine maps
-//   * no float-as-half, no instancing, no delayed-load multipass grids
+//   * float-as-half value buffers (widened to f32 at ingest)
+//   * no instancing, no delayed-load multipass grids
 //
 // Unsupported features fail loudly with a descriptive error, never
 // silently misparse.  tests/vdb_writer.py emits spec-conformant files for
@@ -111,9 +112,24 @@ struct Ctx {
 
 // ---- compressed-block primitives ----
 
-// A zipped/blosc'd stream: int64 nbytes (negative => stored raw).
+// A zipped/blosc'd stream: int64 nbytes (negative => stored raw).  With
+// float-as-half grids the stored values are binary16 (io::HalfReader);
+// they are widened to f32 here at ingest.
 bool read_data_block(Reader& r, const Ctx& c, float* dst, size_t count) {
-  size_t nbytes = count * 4;
+  const size_t vsize = c.half ? 2 : 4;
+  size_t nbytes = count * vsize;
+  std::vector<uint16_t> halves;
+  uint8_t* raw_dst = (uint8_t*)dst;
+  if (c.half) {
+    halves.resize(count);
+    raw_dst = (uint8_t*)halves.data();
+  }
+  auto widen = [&]() {
+    if (c.half)
+      for (size_t i = 0; i < count; ++i)
+        dst[i] = vdbio::half_to_float(halves[i]);
+    return true;
+  };
   if (c.compression & (kCompressZip | kCompressBlosc)) {
     int64_t stored;
     if (!r.rd(&stored)) return false;
@@ -124,29 +140,28 @@ bool read_data_block(Reader& r, const Ctx& c, float* dst, size_t count) {
       size_t raw = (size_t)(-stored);
       if (raw != nbytes) return r.fail("raw block size mismatch");
       if (!r.need(raw)) return false;
-      std::memcpy(dst, r.p + r.pos, raw);
+      std::memcpy(raw_dst, r.p + r.pos, raw);
       r.pos += raw;
-      return true;
+      return widen();
     }
     if (!r.need((size_t)stored)) return false;
     const uint8_t* src = r.p + r.pos;
     if (c.compression & kCompressBlosc) {
-      int64_t got =
-          vdbio::blosc_decompress(src, stored, (uint8_t*)dst, nbytes);
+      int64_t got = vdbio::blosc_decompress(src, stored, raw_dst, nbytes);
       if (got != (int64_t)nbytes) return r.fail("blosc block failed");
     } else {
       uLongf dlen = nbytes;
-      if (uncompress((Bytef*)dst, &dlen, src, stored) != Z_OK ||
+      if (uncompress((Bytef*)raw_dst, &dlen, src, stored) != Z_OK ||
           dlen != nbytes)
         return r.fail("zlib block failed");
     }
     r.pos += (size_t)stored;
-    return true;
+    return widen();
   }
   if (!r.need(nbytes)) return false;
-  std::memcpy(dst, r.p + r.pos, nbytes);
+  std::memcpy(raw_dst, r.p + r.pos, nbytes);
   r.pos += nbytes;
-  return true;
+  return widen();
 }
 
 // io::readCompressedValues: per-node metadata + optional selection mask +
@@ -157,7 +172,6 @@ bool read_compressed_values(Reader& r, const Ctx& c, float* dst, size_t count,
   if (c.file_version >= kVerNodeMaskCompression) {
     if (!r.rd(&meta)) return false;
   }
-  if (c.half) return r.fail("float-as-half unsupported");
 
   float inactive0 = c.background, inactive1 = c.background;
   if (meta == kNoMaskAndMinusBg) inactive0 = -c.background;
@@ -422,11 +436,7 @@ bool parse_vdb(const uint8_t* buf, size_t len, const char* want_name,
         r.pos = (size_t)end_pos;
         continue;
       }
-      c.half = half != 0;
-      if (c.half) {
-        r.fail("float-as-half grids unsupported");
-        break;
-      }
+      c.half = half != 0;  // binary16 value buffers, widened at ingest
       out->grid_name = unique_name.substr(0, unique_name.find('\x1e'));
       if (grid_pos > 0 && (size_t)grid_pos <= len) r.pos = (size_t)grid_pos;
 

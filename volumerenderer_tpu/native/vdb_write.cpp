@@ -34,11 +34,13 @@
 
 #include <zlib.h>
 
+#include "lz4_blosc.h"  // vdbio::float_to_half / half_to_float
+
 namespace {
 
 constexpr uint64_t kMagic = 0x56444220ULL;
 constexpr uint32_t kFileVersion = 224;
-constexpr uint32_t kZip = 0x1, kActiveMask = 0x2, kBlosc = 0x4;
+constexpr uint32_t kZip = 0x1, kActiveMask = 0x2, kBlosc = 0x4, kHalf = 0x8;
 constexpr int8_t kMetaMaskNoInactive = 3;
 constexpr int8_t kMetaNoMaskAllVals = 6;
 
@@ -115,50 +117,96 @@ int64_t lz4_compress_block(const uint8_t* src, int64_t n, std::vector<uint8_t>& 
   return (int64_t)out.size();
 }
 
-// Blosc1 frame: 16-byte header + block index + one whole-frame block.
-void blosc_frame(const uint8_t* src, int64_t n, std::vector<uint8_t>& out) {
+// Blosc1 frame, c-blosc 1.x conventions (so exported frames parse under a
+// real c-blosc, matching what OpenVDB+blosc emits): flags bit0 =
+// byte-shuffle (BLOSC_DOSHUFFLE), bit1 = memcpy'ed (BLOSC_MEMCPYED), bits
+// 5-7 = compressor format (BLOSC_LZ4_FORMAT == 1).  LZ4 blocks are SPLIT
+// into `typesize` sub-streams of [i32 size][payload] when typesize <= 16
+// and blocksize/typesize >= 128 (c-blosc MIN_BUFFERSIZE / forward-compat
+// split mode); a sub-stream whose stored size equals its raw size is
+// uncompressed.
+void blosc_frame(const uint8_t* src, int64_t n, std::vector<uint8_t>& out,
+                 int typesize) {
   out.assign(16, 0);
   out[0] = 2;                       // blosc format version
-  out[1] = 1;                       // codec format version
-  int32_t nbytes = (int32_t)n, cbytes;
-  std::vector<uint8_t> lz;
-  int64_t csz = lz4_compress_block(src, n, lz);
+  out[1] = 1;                       // lz4 codec format version
+  out[3] = (uint8_t)typesize;
   auto wr32 = [&](size_t at, int32_t v) { std::memcpy(out.data() + at, &v, 4); };
-  if (csz > 0 && csz < n) {
-    out[2] = (uint8_t)(2 << 5);     // codec id slot the reader decodes as LZ4
-    out[3] = 4;                     // typesize
-    out.resize(16 + 4, 0);
-    wr32(16, 20);                   // block index: single block at offset 20
-    out.resize(24, 0);
-    wr32(20, (int32_t)csz);         // per-block compressed size
-    out.insert(out.end(), lz.begin(), lz.end());
-    cbytes = (int32_t)out.size();
-  } else {
-    out[2] = 0x4;                   // memcpyed frame
-    out[3] = 4;
-    out.insert(out.end(), src, src + n);
-    cbytes = (int32_t)out.size();
+  bool shuffled = typesize > 1 && n % typesize == 0;
+  std::vector<uint8_t> shuf;
+  const uint8_t* body = src;
+  if (shuffled) {
+    shuf.resize(n);
+    int64_t per = n / typesize;
+    for (int t = 0; t < typesize; ++t)
+      for (int64_t i = 0; i < per; ++i) shuf[t * per + i] = src[i * typesize + t];
+    body = shuf.data();
   }
-  wr32(4, nbytes);
-  wr32(8, nbytes);                  // blocksize == nbytes: single block
-  wr32(12, cbytes);
+  int nsplits =
+      (typesize > 1 && typesize <= 16 && n % typesize == 0 &&
+       n / typesize >= 128)
+          ? typesize
+          : 1;
+  int64_t per = n / nsplits;
+  std::vector<uint8_t> payload, lz;
+  for (int t = 0; t < nsplits; ++t) {
+    int64_t csz = lz4_compress_block(body + t * per, per, lz);
+    int32_t ps;
+    const uint8_t* pd;
+    if (csz > 0 && csz < per) {
+      ps = (int32_t)csz;
+      pd = lz.data();
+    } else {  // incompressible sub-stream: stored raw, size == raw size
+      ps = (int32_t)per;
+      pd = body + t * per;
+    }
+    size_t at = payload.size();
+    payload.resize(at + 4);
+    std::memcpy(payload.data() + at, &ps, 4);
+    payload.insert(payload.end(), pd, pd + ps);
+  }
+  if ((int64_t)payload.size() >= n) {
+    // Incompressible frame: c-blosc memcpy's the ORIGINAL (unshuffled)
+    // buffer to offset 16 and sets only BLOSC_MEMCPYED.
+    out[2] = 0x2;
+    out.insert(out.end(), src, src + n);
+  } else {
+    out[2] = (uint8_t)((1 << 5) | (shuffled ? 0x1 : 0));
+    out.resize(20, 0);
+    wr32(16, 20);  // bstarts: single block at offset 20
+    out.insert(out.end(), payload.begin(), payload.end());
+  }
+  wr32(4, (int32_t)n);
+  wr32(8, (int32_t)n);  // blocksize == nbytes: single block
+  wr32(12, (int32_t)out.size());
 }
 
 // int64-framed data block (io::writeCompressedData): positive = compressed
-// payload size, negative = raw float payload of |size| bytes.
+// payload size, negative = raw payload of |size| bytes.  With kHalf the
+// values are narrowed to binary16 first (io::RealToHalf semantics).
 void data_block(Buf& o, const float* vals, size_t count, uint32_t comp) {
+  std::vector<uint16_t> halves;
+  const uint8_t* raw_p = (const uint8_t*)vals;
   size_t nbytes = count * 4;
+  int typesize = 4;
+  if (comp & kHalf) {
+    halves.resize(count);
+    for (size_t i = 0; i < count; ++i) halves[i] = vdbio::float_to_half(vals[i]);
+    raw_p = (const uint8_t*)halves.data();
+    nbytes = count * 2;
+    typesize = 2;
+  }
   if (!(comp & (kZip | kBlosc))) {
-    o.raw(vals, nbytes);
+    o.raw(raw_p, nbytes);
     return;
   }
   std::vector<uint8_t> payload;
   if (comp & kBlosc) {
-    blosc_frame((const uint8_t*)vals, (int64_t)nbytes, payload);
+    blosc_frame(raw_p, (int64_t)nbytes, payload, typesize);
   } else {
     uLongf cap = compressBound((uLong)nbytes);
     payload.resize(cap);
-    if (compress2(payload.data(), &cap, (const Bytef*)vals, (uLong)nbytes,
+    if (compress2(payload.data(), &cap, (const Bytef*)raw_p, (uLong)nbytes,
                   Z_DEFAULT_COMPRESSION) == Z_OK) {
       payload.resize(cap);
     } else {
@@ -170,7 +218,7 @@ void data_block(Buf& o, const float* vals, size_t count, uint32_t comp) {
     o.raw(payload.data(), payload.size());
   } else {
     o.w<int64_t>(-(int64_t)nbytes);
-    o.raw(vals, nbytes);
+    o.raw(raw_p, nbytes);
   }
 }
 
@@ -261,7 +309,7 @@ void write_grid(Buf& o, const float* data, const int64_t dims[3],
   // ---- descriptor ----
   o.str(name);
   o.str("Tree_float_5_4_3");
-  o.w<uint8_t>(0);  // not float-as-half
+  o.w<uint8_t>((comp & kHalf) ? 1 : 0);  // saveFloatAsHalf
   size_t off_at = o.pos();
   o.w<int64_t>(0);  // grid pos (body start)
   o.w<int64_t>(0);  // block pos
@@ -356,7 +404,10 @@ void write_grid(Buf& o, const float* data, const int64_t dims[3],
       }
     }
   }
-  // Leaf buffers in topology order.
+  // Leaf buffers in topology order.  GridDescriptor's blockPos records
+  // where this stream starts (real OpenVDB seekToBlocks() seeks here
+  // before Tree::readBuffers).
+  o.patch64(off_at + 8, (int64_t)o.pos());
   for (const Leaf* lf : leaf_order) {
     o.raw(lf->mask, 64);
     compressed_values(o, lf->vals, lf->mask, 512, comp);
@@ -368,11 +419,28 @@ void write_grid(Buf& o, const float* data, const int64_t dims[3],
 
 extern "C" {
 
+// Test/interop hooks: the Blosc1 codec pair as flat C calls, so the suite
+// can check frame-header conformance with the c-blosc spec byte-by-byte.
+int64_t vdbio_blosc_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                             int64_t cap, int typesize) {
+  std::vector<uint8_t> out;
+  blosc_frame(src, n, out, typesize);
+  if ((int64_t)out.size() > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+int64_t vdbio_blosc_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                               int64_t cap) {
+  return vdbio::blosc_decompress(src, n, dst, cap);
+}
+
 // Write an OpenVDB .vdb file holding `n_grids` dense FloatGrids.
 //   datas[i]  : dims[3i]*dims[3i+1]*dims[3i+2] floats (x-major)
 //   bmins     : index-space origin per grid (3 each)
 //   mats/vecs : row-major 3x3 index->world linear map + translation per grid
-//   compression: bit0 zlib, bit1 active-mask, bit2 blosc(LZ4)
+//   compression: bit0 zlib, bit1 active-mask, bit2 blosc(LZ4),
+//                bit3 float-as-half value buffers
 int vdbio_write_vdb(const char* path, int n_grids, const float* const* datas,
                     const int64_t* dims, const int32_t* bmins,
                     const double* mats, const double* vecs,
@@ -388,6 +456,8 @@ int vdbio_write_vdb(const char* path, int n_grids, const float* const* datas,
   o.w<uint32_t>(10);  // library major
   o.w<uint32_t>(1);   // library minor
   o.w<uint8_t>(1);    // grid offsets present
+  // File-level compression flags exclude kHalf: float-as-half is a
+  // per-grid descriptor property, not an io::Compression flag.
   o.w<uint32_t>(compression & (kZip | kActiveMask | kBlosc));
   o.raw("00000000-0000-0000-0000-000000000000", 36);
   write_metamap(o, {{"creator", "volumerenderer_tpu vdb_write"}});
