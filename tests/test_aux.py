@@ -84,6 +84,20 @@ def test_render_offline_and_viewer_wiring(tmp_path):
     # Slider edit does not reset; refresh button does.
     v.sliders["absorption_coefficient"].set_val(0.3)
     assert int(r.state.frame_count) == 3
+    # Every reference ImGui widget has a viewer counterpart
+    # (src/main.cpp:662-692): Camera Pos + Light Source Pos SliderFloat3s
+    # and the Max Lights DragInt included.
+    for comp in "xyz":
+        assert f"camera_pos.{comp}" in v.sliders
+        assert f"light_source_world_pos.{comp}" in v.sliders
+    v.sliders["camera_pos.y"].set_val(25.0)  # small_renderer cam (0,0,-15)
+    np.testing.assert_allclose(
+        np.asarray(r.params.camera_pos), [0.0, 25.0, -15.0])
+    v.sliders["light_source_world_pos.x"].set_val(-10.0)
+    assert float(np.asarray(r.params.light_source_world_pos)[0]) == -10.0
+    v.sliders["max_lights"].set_val(321)
+    assert int(r.params.max_lights) == 321
+    assert int(r.state.frame_count) == 3  # still no auto-reset
     v.btn.eventson and v.renderer.refresh()
     assert int(r.state.frame_count) == 0
 

@@ -46,15 +46,22 @@ class InteractiveViewer:
     """Matplotlib-based interactive session (requires a display or
     ``matplotlib.use('Agg')`` for testing the wiring)."""
 
-    # Slider ranges mirror the ImGui widgets (src/main.cpp:662-692).
+    # Widgets mirror the ImGui panel one-for-one, in the reference's order
+    # (src/main.cpp:662-692): SliderFloat3 -> three component sliders,
+    # DragInt -> an integer-stepped slider.  Entries are
+    # (field, lo, hi, kind) with kind "f" scalar float, "v3" vec3
+    # component triple, "i" integer.
     SLIDERS = [
-        ("photon_initial_intensity", 0.0, 500.0),
-        ("scattering_probability", 0.0, 1.0),
-        ("absorption_coefficient", 0.0, 1.0),
-        ("ray_max_distance", 0.0, 20000.0),
-        ("ray_marching_step_size", 0.01, 10.0),
-        ("beam_radius", 0.0, 10.0),
-        ("light_ray_step_size", 0.01, 10.0),
+        ("camera_pos", -200.0, 200.0, "v3"),            # Camera Pos
+        ("photon_initial_intensity", 0.0, 500.0, "f"),  # Photon Intensity
+        ("scattering_probability", 0.0, 1.0, "f"),
+        ("absorption_coefficient", 0.0, 1.0, "f"),
+        ("max_lights", 0, 1_000_000, "i"),              # DragInt
+        ("ray_max_distance", 0.0, 20000.0, "f"),
+        ("ray_marching_step_size", 0.01, 10.0, "f"),
+        ("light_source_world_pos", -100.0, 100.0, "v3"),
+        ("beam_radius", 0.0, 10.0, "f"),
+        ("light_ray_step_size", 0.01, 10.0, "f"),
     ]
 
     def __init__(self, renderer: Renderer):
@@ -80,14 +87,27 @@ class InteractiveViewer:
         self.radio.on_clicked(self._on_algorithm)
 
         self.sliders = {}
-        y = 0.62
-        for name, lo, hi in self.SLIDERS:
-            ax = self.fig.add_axes([0.72, y, 0.22, 0.03])
-            s = Slider(ax, name, lo, hi,
-                       valinit=float(getattr(self.renderer.params, name)))
-            s.on_changed(self._make_param_setter(name))
-            self.sliders[name] = s
-            y -= 0.06
+        y = 0.66
+        dy = 0.032
+        for name, lo, hi, kind in self.SLIDERS:
+            if kind == "v3":
+                cur = np.asarray(getattr(self.renderer.params, name),
+                                 np.float32)
+                for axis, label in enumerate("xyz"):
+                    ax = self.fig.add_axes([0.72, y, 0.22, 0.02])
+                    s = Slider(ax, f"{name}.{label}", lo, hi,
+                               valinit=float(cur[axis]))
+                    s.on_changed(self._make_vec3_setter(name, axis))
+                    self.sliders[f"{name}.{label}"] = s
+                    y -= dy
+            else:
+                ax = self.fig.add_axes([0.72, y, 0.22, 0.02])
+                s = Slider(ax, name, lo, hi,
+                           valinit=float(getattr(self.renderer.params, name)),
+                           valstep=1 if kind == "i" else None)
+                s.on_changed(self._make_param_setter(name))
+                self.sliders[name] = s
+                y -= dy
         ax_btn = self.fig.add_axes([0.72, y - 0.02, 0.22, 0.05])
         self.btn = Button(ax_btn, "Refresh")
         self.btn.on_clicked(lambda _ev: self.renderer.refresh())
@@ -100,6 +120,15 @@ class InteractiveViewer:
             # Slider edits mutate params only; accumulation continues until
             # Refresh (src/main.cpp:662-698).
             self.renderer.set(**{name: value})
+
+        return setter
+
+    def _make_vec3_setter(self, name, axis):
+        def setter(value):
+            cur = np.asarray(getattr(self.renderer.params, name),
+                             np.float32).copy()
+            cur[axis] = value
+            self.renderer.set(**{name: cur})
 
         return setter
 
