@@ -7,7 +7,7 @@ CXX ?= g++
 CXXFLAGS ?= -O2 -fPIC -shared -std=c++17
 NATIVE := volumerenderer_tpu/native
 
-.PHONY: all native test bench clean
+.PHONY: all native test test-all bench clean
 
 all: native
 
@@ -16,7 +16,14 @@ native: $(NATIVE)/libvdbio.so
 $(NATIVE)/libvdbio.so: $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/vdb_write.cpp $(NATIVE)/imageio.cpp $(NATIVE)/lz4_blosc.h
 	$(CXX) $(CXXFLAGS) $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/vdb_write.cpp $(NATIVE)/imageio.cpp -o $@ -lz
 
+# Fast default subset: skips the @pytest.mark.slow parametrizations whose
+# cold XLA compiles dominate the wall clock.  Both targets share the
+# persistent compilation cache (.jax_cache, set up by tests/conftest.py),
+# so repeat runs of either are several times faster than cold.
 test: native
+	python -m pytest tests/ -q -m "not slow"
+
+test-all: native
 	python -m pytest tests/ -q
 
 bench: native
