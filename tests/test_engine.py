@@ -196,3 +196,36 @@ def test_compact_view_exact_and_matches_plain_view():
         assert r_compact.view_exact
         np.testing.assert_allclose(
             r_compact.image(), r_plain.image(), rtol=1e-5, atol=1e-7)
+
+
+def test_device_build_matches_host_build():
+    """The zero-host-sync device build (render.color.
+    build_compact_view_device: device argsort, static bands, global cap)
+    renders the same images as the host-synced banded build and the plain
+    ViewCache — only the cumprod association width differs (~1 ulp)."""
+    import dataclasses
+
+    from volumerenderer_tpu.render.color import CompactView
+
+    for algo in (Algorithm.POINT, Algorithm.SPHERE):
+        r_dev = small_renderer(algorithm=algo)
+        r_dev.config = dataclasses.replace(
+            r_dev.config, compact_build="device")
+        r_host = small_renderer(algorithm=algo)
+        r_host.config = dataclasses.replace(
+            r_host.config, compact_build="host")
+        r_plain = small_renderer(algorithm=algo)
+        r_plain.config = dataclasses.replace(
+            r_plain.config, compact_view=False)
+        r_dev.step(3); r_host.step(3); r_plain.step(3)
+        assert isinstance(r_dev._view, CompactView)
+        assert r_dev.view_exact  # exact by construction (global cap)
+        np.testing.assert_allclose(
+            r_dev.image(), r_host.image(), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            r_dev.image(), r_plain.image(), rtol=1e-5, atol=1e-7)
+    # "auto" on a small view picks the device build (no host sync).
+    r_auto = small_renderer(algorithm=Algorithm.POINT)
+    assert r_auto.config.compact_build == "auto"
+    steps = r_auto._max_steps
+    assert r_auto._device_build_ok(steps)

@@ -115,6 +115,18 @@ class StaticConfig:
     # = true nonzero count. ~3-5x fewer shade-kernel blocks at the 1080p
     # bench config for every gather algorithm.
     compact_view: bool = True
+    # How the CompactView is built:
+    #   "host"   — occupancy counts read back to host, np.argsort lane
+    #              order, per-band caps sized from the sorted counts
+    #              (tight memory; D2H sync + count-dependent shapes).
+    #   "device" — everything on device with static shapes
+    #              (render.color.build_compact_view_device): no host sync,
+    #              no per-camera recompiles, exact by construction; plane
+    #              memory covers all rays at the global cap.
+    #   "auto"   — "device" when the full-width planes fit the session's
+    #              device_view_budget_bytes and gather_samples == 0, else
+    #              "host".
+    compact_build: str = "auto"
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)

@@ -29,6 +29,7 @@ from .state import RenderState
 from .step import (
     band_from_planes_step,
     bake_path_view_step,
+    build_compact_view_device_step,
     build_view_rays_step,
     build_view_step,
     camera_rays_index_step,
@@ -162,7 +163,9 @@ class Renderer:
             self._view_key = None
             clip_box, view_steps = self._occupied_clip()
             steps = min(max_steps, view_steps)
-            if self.config.compact_view:
+            if self.config.compact_view and self._device_build_ok(steps):
+                self._view = self._build_compact_view_device(clip_box, steps)
+            elif self.config.compact_view:
                 self._view = self._build_compact_view(clip_box, steps)
             else:
                 self.view_exact = (
@@ -233,6 +236,47 @@ class Renderer:
     # exceeding it are built band-by-band — bunny_cloud-scale marches
     # would otherwise materialize ~8 GB of planes at once.
     view_build_budget_bytes: int = 3 << 29
+
+    # Budget for the DEVICE build's resident planes (all rays x global
+    # cap x 16 B).  Within it, compact_build="auto" picks the zero-host-
+    # sync static-shape build; beyond it (bunny-scale marches) the
+    # host-synced banded build bounds memory with count-aware caps.
+    device_view_budget_bytes: int = 6 << 30
+
+    def _device_build_ok(self, steps: int) -> bool:
+        from ..ops.pallas.gather_lanes import TILE_L
+
+        mode = self.config.compact_build
+        if mode == "host" or self.gather_samples:
+            return False
+        n_rays = self.config.height * self.config.width
+        lanes_n = -(-n_rays // TILE_L) * TILE_L
+        cell = max(
+            1, int(8.0 // max(float(self.params.ray_marching_step_size),
+                              1e-6))
+        )
+        s_eff = -(-steps // cell) * cell if cell > 1 else steps
+        fits = lanes_n * s_eff * 16 <= self.device_view_budget_bytes
+        if mode == "device":
+            return True
+        return fits
+
+    def _build_compact_view_device(self, clip_box, steps: int):
+        """Zero-host-sync compact build (render.color.
+        build_compact_view_device, one jit dispatch): device argsort lane
+        order, fixed band shapes, global cap == steps — EXACT by
+        construction (cap >= any per-ray occupied count), so no probe
+        readback is needed; camera edits re-run the same compiled program
+        (no recompile churn while orbiting)."""
+        cell = max(
+            1, int(8.0 // max(float(self.params.ray_marching_step_size),
+                              1e-6))
+        )
+        self.view_exact = True
+        return build_compact_view_device_step(
+            self.grid, self.params, clip_box,
+            config=self.config, steps=steps, march_cell=cell,
+        )
 
     def _build_compact_view(self, clip_box, steps: int):
         """Build the lane-per-ray compact view (render.color.CompactView)

@@ -189,6 +189,33 @@ def build_view_rays_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "steps", "num_rows", "march_cell",
+                     "band_lanes"),
+)
+def build_compact_view_device_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box=None,
+    row_start=0,
+    *,
+    config: StaticConfig,
+    steps: int,
+    num_rows: int | None = None,
+    march_cell: int = 8,
+    band_lanes: int = 512 * 1024,
+):
+    """One-dispatch, zero-host-sync compact-view build
+    (render.color.build_compact_view_device): static shapes for every
+    camera, so camera motion re-runs this exact compiled program."""
+    return color_mod.build_compact_view_device(
+        grid, params, config, steps, clip_box=clip_box,
+        row_start=row_start, num_rows=num_rows, march_cell=march_cell,
+        band_lanes=band_lanes,
+    )
+
+
 @functools.partial(jax.jit, donate_argnames=("wx", "wy", "wz", "w"))
 def band_from_planes_step(wx, wy, wz, w):
     """(N, C) ray-band planes -> lane-layout PlaneBand (transpose + sublane

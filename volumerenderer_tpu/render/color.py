@@ -582,6 +582,102 @@ def build_view_rays(
     return tuple(map(reshape, (wx, wy, wz, w)))
 
 
+def build_compact_view_device(
+    grid: DenseGrid,
+    params: RenderParams,
+    config: StaticConfig,
+    steps: int,
+    *,
+    clip_box=None,
+    row_start=0,
+    num_rows: int | None = None,
+    march_cell: int = 8,
+    band_lanes: int = 512 * 1024,
+) -> CompactView:
+    """Fully ON-DEVICE compact-view build: zero host synchronization.
+
+    The host-synced build (engine.session._build_compact_view) reads the
+    occupancy counts back, argsorts on host, and sizes per-band caps from
+    the sorted counts — tight memory, but a D2H round-trip plus
+    count-dependent compiled shapes (every camera move risks a recompile).
+    This variant keeps every decision on device with STATIC shapes:
+
+      * lanes = ALL rays (padded to TILE_L), sorted by descending occupancy
+        count via jnp.argsort — miss rays sink to the tail where the lane
+        kernels' per-block sample bounds are 0 and whole blocks are
+        skipped;
+      * every band uses the GLOBAL cap ``steps`` (>= any per-ray occupied
+        count by construction), so the view is EXACT by construction — no
+        probe/readback needed to guarantee it;
+      * bands are fixed ``band_lanes``-wide slices of the sorted order, so
+        a camera move re-runs the exact same compiled programs.
+
+    Cost vs the host build: plane memory covers all rays at the full cap
+    (n_rays x steps x 16 B; the engine budget-gates this mode), and the
+    march fetches at the full cap for every lane.  Under jit/shard_map this
+    is the multi-chip-safe build (parallel.sharding uses it per row band).
+
+    Reference anchor: the same per-frame march as
+    point_compute_color.comp:61-94, memoized and lane-compacted.
+    """
+    from ..ops.pallas.gather_lanes import TILE_L
+
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    n_rays = rows * W
+    lanes_n = -(-n_rays // TILE_L) * TILE_L
+    o_i, d_i = camera_rays_index(grid, params, config, row_start, num_rows)
+
+    use_occ = config.interpolation == "nearest" and march_cell > 1
+    if use_occ:
+        counts = occupancy_counts_rays(
+            grid, params, config, steps, o_i, d_i,
+            clip_box=clip_box, march_cell=march_cell,
+        )
+    else:
+        counts = jnp.full((n_rays,), steps, jnp.int32)
+
+    order = jnp.argsort(-counts, stable=True).astype(jnp.int32)
+    pos = jnp.zeros((n_rays,), jnp.int32).at[order].set(
+        jnp.arange(n_rays, dtype=jnp.int32)
+    )
+    hit = counts > 0
+    inv_map = jnp.where(hit, pos, lanes_n).astype(jnp.int32)
+    order_p = jnp.pad(order, (0, lanes_n - n_rays))
+    lane_live = jnp.pad(jnp.take(hit, order), (0, lanes_n - n_rays))
+    src = jnp.where(lane_live, order_p, 0)
+
+    bands = []
+    start = 0
+    while start < lanes_n:
+        size = min(band_lanes, lanes_n - start)
+        idx_b = jax.lax.dynamic_slice_in_dim(order_p, start, size)
+        live_b = jax.lax.dynamic_slice_in_dim(lane_live, start, size)
+        o_b = jnp.take(o_i, idx_b, axis=0)
+        d_b = jnp.take(d_i, idx_b, axis=0)
+        wx, wy, wz, w = build_view_rays(
+            grid, params, config, steps, o_b, d_b,
+            clip_box=clip_box, occupied_cap=steps, march_cell=march_cell,
+        )
+        w = jnp.where(live_b[:, None], w, 0.0)
+        C = wx.shape[1]
+        padC = (-C) % 8
+        nz = w != 0.0
+        need = jnp.where(
+            jnp.any(nz, axis=-1), C - jnp.argmax(nz[:, ::-1], axis=-1), 0
+        ).astype(jnp.int32)
+        tr = lambda a: (jnp.pad(a, ((0, 0), (0, padC))) if padC else a).T
+        bands.append(PlaneBand(
+            wx=tr(wx), wy=tr(wy), wz=tr(wz), weight=tr(w), lane_need=need,
+        ))
+        start += size
+
+    return CompactView(
+        bands=tuple(bands), inv_map=inv_map, src=src,
+        n_rays=n_rays, rows=rows,
+    )
+
+
 def shade_view(
     grid: DenseGrid,
     view: ViewCache,
