@@ -92,12 +92,18 @@ def test_mesh_renderer_cached_matches_single_device(lights_axis):
     mesh = sharding.make_mesh(jax.devices()[:8], lights_axis=lights_axis)
     mr = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
     mr.step(2)
+    # The round-2 fast path is the default multi-chip steady state now:
+    # per-device CompactView (dict of sharded band arrays), not the plain
+    # ViewCache (VERDICT r2 #6).
+    assert mr._use_compact and "b0" in mr._view and "inv_map" in mr._view
     np.testing.assert_allclose(
         np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
     assert int(mr.state.frame_count) == 2
 
 
-def test_mesh_renderer_path_fallback():
+def test_mesh_renderer_path_cached():
+    """Multi-chip PATH renders through the sharded PathView (baked camera
+    segment per device) and still equals the single-device uncached step."""
     from volumerenderer_tpu.parallel.sharding import MeshRenderer
 
     g, params, config = scene()
@@ -106,6 +112,7 @@ def test_mesh_renderer_path_fallback():
     mesh = sharding.make_mesh(jax.devices()[:8])
     mr = MeshRenderer(g, mesh, config, params, Algorithm.PATH)
     mr.step(2)
+    assert mr._path_view is not None  # cached path actually taken
     np.testing.assert_allclose(
         np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
 

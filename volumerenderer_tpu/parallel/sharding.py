@@ -337,6 +337,273 @@ def sharded_shade_step(
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 fast paths, multi-chip (VERDICT r2 #6): per-device CompactView
+# (the zero-host-sync device build runs INSIDE shard_map — every lane
+# decision is a device op with static shapes, so it shards trivially) and
+# per-device PATH PathView.
+# ---------------------------------------------------------------------------
+
+
+def _n_bands(config: StaticConfig, local_rows: int,
+             band_lanes: int = 512 * 1024) -> int:
+    from ..ops.pallas.gather_lanes import TILE_L
+
+    n_rays_l = local_rows * config.width
+    lanes_n = -(-n_rays_l // TILE_L) * TILE_L
+    return -(-lanes_n // band_lanes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "steps", "mesh", "march_cell"),
+)
+def build_compact_view_sharded(
+    grid: DenseGrid,
+    params: RenderParams,
+    clip_box,
+    *,
+    config: StaticConfig,
+    steps: int,
+    mesh: Mesh,
+    march_cell: int = 8,
+):
+    """Each device bakes the COMPACT view of its row band
+    (render.color.build_compact_view_device under shard_map): occupied-bbox
+    clip, brick-skipping march, lane compaction — the same fast path the
+    single-chip session uses, now sharded.  Returns a dict of arrays with
+    the lane axes sharded by 'rows'; reassembled per device at shade time.
+    ``clip_box``: concrete occupied-region corners (pass the full bbox when
+    unknown — bit-identical to no clip)."""
+    n_rows_shards = mesh.shape["rows"]
+    if config.height % n_rows_shards:
+        raise ValueError("height must divide mesh rows")
+    local_rows = config.height // n_rows_shards
+
+    def body(grid, params, clip):
+        row0 = jax.lax.axis_index("rows") * local_rows
+        v = color_mod.build_compact_view_device(
+            grid, params, config, steps, clip_box=clip,
+            row_start=row0, num_rows=local_rows, march_cell=march_cell,
+        )
+        out = dict(inv_map=v.inv_map, src=v.src)
+        for i, b in enumerate(v.bands):
+            out[f"b{i}"] = dict(
+                wx=b.wx, wy=b.wy, wz=b.wz, weight=b.weight,
+                lane_need=b.lane_need,
+            )
+        return out
+
+    band_spec = dict(
+        wx=P(None, "rows"), wy=P(None, "rows"), wz=P(None, "rows"),
+        weight=P(None, "rows"), lane_need=P("rows"),
+    )
+    out_specs = dict(
+        inv_map=P("rows"), src=P("rows"),
+        **{f"b{i}": band_spec for i in range(_n_bands(config, local_rows))},
+    )
+    clip = (
+        jnp.asarray(clip_box[0], jnp.float32),
+        jnp.asarray(clip_box[1], jnp.float32),
+    )
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), (P(), P())),
+        out_specs=out_specs,
+        check_vma=False,
+    )(grid, params, clip)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "config", "max_steps", "mesh", "n_frames"),
+    donate_argnames=("state",),
+)
+def sharded_shade_compact_step(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    view_arrays,
+    *,
+    algorithm: Algorithm,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    n_frames: int = 1,
+) -> RenderState:
+    """``n_frames`` compact cached frames in ONE dispatch, sharded: every
+    device accumulates its row band IN COMPACT SPACE (only its hit-ray
+    vector updates per frame; one image-space expansion per batch — the
+    multi-chip twin of engine.step.render_steps_cached), with the light
+    axis optionally sharded via one psum per frame over ICI."""
+    if config.accum_dtype == "uint8":
+        raise ValueError("compact sharded shading needs f32 accumulation")
+    n_rows_shards = mesh.shape["rows"]
+    n_light_shards = mesh.shape.get("lights", 1)
+    local_rows = config.height // n_rows_shards
+    W = config.width
+    n_rays_l = local_rows * W
+
+    def body(accum_local, fc0, va, grid, params):
+        bands = []
+        for i in range(_n_bands(config, local_rows)):
+            b = va[f"b{i}"]
+            bands.append(color_mod.PlaneBand(
+                wx=b["wx"], wy=b["wy"], wz=b["wz"], weight=b["weight"],
+                lane_need=b["lane_need"],
+            ))
+        view = color_mod.CompactView(
+            bands=tuple(bands), inv_map=va["inv_map"], src=va["src"],
+            n_rays=n_rays_l, rows=local_rows,
+        )
+        fcs = fc0 + 1 + jnp.arange(n_frames, dtype=jnp.int32)
+        lights_batch = jax.vmap(
+            lambda fc: photon.generate_lights(
+                grid, params, fc, config, max_steps=max_steps
+            )
+        )(fcs)
+        accum_flat = accum_local.reshape(-1)
+        accum_c = jnp.take(accum_flat, view.src, mode="clip")
+
+        def frame_body(i, accum_c):
+            fc = fcs[i]
+            lights = jax.tree.map(lambda x: x[i], lights_batch)
+            if n_light_shards > 1:
+                li = jax.lax.axis_index("lights")
+                L = config.light_capacity
+                shard = L // n_light_shards
+                slot = jnp.arange(L)
+                mine = (slot >= li * shard) & (slot < (li + 1) * shard)
+                my_lights = lights._replace(valid=lights.valid & mine)
+                raw = color_mod._ray_radiance(
+                    grid, view, params, my_lights, algorithm, config
+                )
+                total = jax.lax.psum(raw, "lights")
+                denom = jnp.maximum(lights.count, 1).astype(jnp.float32)
+                frame_c = jnp.clip(total / denom, 0.0, 1.0)
+            else:
+                frame_c = color_mod.shade_view_compact(
+                    grid, view, params, lights, algorithm, config
+                )
+            accum_c = jnp.where(fc == 1, 0.0, accum_c)
+            return accumulate(accum_c, frame_c, fc)
+
+        accum_c = jax.lax.fori_loop(0, n_frames, frame_body, accum_c)
+        fc_end = fc0 + n_frames
+        factor = jnp.where(
+            fc0 == 0, 0.0,
+            fc0.astype(jnp.float32) / fc_end.astype(jnp.float32),
+        )
+        expanded = color_mod.expand_compact_colors(accum_c, view)
+        hit = (view.inv_map < view.src.shape[0])[:n_rays_l]
+        new_flat = jnp.where(hit, expanded, accum_flat * factor)
+        return new_flat.reshape(local_rows, W)
+
+    band_spec = dict(
+        wx=P(None, "rows"), wy=P(None, "rows"), wz=P(None, "rows"),
+        weight=P(None, "rows"), lane_need=P("rows"),
+    )
+    view_specs = dict(
+        inv_map=P("rows"), src=P("rows"),
+        **{f"b{i}": band_spec for i in range(_n_bands(config, local_rows))},
+    )
+    new_accum = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("rows", None), P(), view_specs, P(), P()),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )(state.accum, state.frame_count, view_arrays, grid, params)
+    return RenderState(
+        accum=new_accum, frame_count=state.frame_count + n_frames
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "mesh", "shadow_lut_radius"),
+)
+def bake_path_view_sharded(
+    grid: DenseGrid,
+    params: RenderParams,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    shadow_lut_radius: int = 0,
+):
+    """Each device bakes PATH's frame-invariant camera segment for its row
+    band (render.path.bake_path_view under shard_map) — the multi-chip
+    PathView.  Returns the PathView fields as a dict sharded by 'rows'."""
+    local_rows = config.height // mesh.shape["rows"]
+
+    def body(grid, params):
+        row0 = jax.lax.axis_index("rows") * local_rows
+        return path_mod.bake_path_view(
+            grid, params, config, max_steps,
+            row_start=row0, num_rows=local_rows,
+            shadow_lut_radius=shadow_lut_radius,
+        )._asdict()
+
+    fields = ("o_i", "d_i", "tmin", "tmax", "live", "roll_site", "prefix")
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs={k: P("rows") for k in fields},
+        check_vma=False,
+    )(grid, params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "mesh", "shadow_lut_radius"),
+    donate_argnames=("state",),
+)
+def sharded_path_step_cached(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    cache_arrays,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    mesh: Mesh,
+    shadow_lut_radius: int = 0,
+) -> RenderState:
+    """One cached multi-chip PATH frame: each device renders its row band
+    from its baked PathView shard (RNG + prefix lookup camera segment,
+    compacted scatter segments) — the sharded twin of
+    engine.step.render_path_step_cached."""
+    local_rows = config.height // mesh.shape["rows"]
+
+    def body(accum_local, fc0, ca, grid, params):
+        cache = path_mod.PathView(**ca)
+        fc = fc0 + 1
+        row0 = jax.lax.axis_index("rows") * local_rows
+        frame = path_mod.render_frame(
+            grid, params, fc, config, max_steps,
+            row_start=row0, num_rows=local_rows,
+            shadow_lut_radius=shadow_lut_radius, cache=cache,
+        )
+        accum_local = jnp.where(fc == 1, 0.0, accum_local)
+        return accumulate(
+            accum_local, frame, fc,
+            quantize_u8=config.accum_dtype == "uint8",
+        )
+
+    fields = ("o_i", "d_i", "tmin", "tmax", "live", "roll_site", "prefix")
+    new_accum = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P("rows", None), P(), {k: P("rows") for k in fields}, P(), P(),
+        ),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )(state.accum, state.frame_count, cache_arrays, grid, params)
+    return RenderState(
+        accum=new_accum, frame_count=state.frame_count + 1
+    )
+
+
 class MeshRenderer:
     """Multi-chip interactive session: the Renderer equivalent over a device
     mesh — view baked per device once, then cached sharded frames batched
@@ -351,7 +618,24 @@ class MeshRenderer:
     def __init__(self, grid, mesh: Mesh, config: StaticConfig,
                  params: RenderParams, algorithm: Algorithm,
                  gather_samples: int | None = None):
+        import math
+
+        import numpy as np
+
+        from ..grid.dense import occupied_bbox
         from ..render.color import required_march_steps
+
+        # Occupied clip + step bound, concrete at setup (same derivation as
+        # engine.session._occupied_clip) — the compact sharded build clips
+        # and brick-skips exactly like the single-chip session.
+        box = occupied_bbox(grid)
+        if box is None:
+            box = (
+                np.asarray(grid.bbox_min, np.float32),
+                np.asarray(grid.bbox_max, np.float32) + 1.0,
+            )
+        self._clip = box
+        self._occ_diag = float(np.linalg.norm(box[1] - box[0]))
 
         self.grid = replicate(mesh, grid)
         self.mesh = mesh
@@ -364,12 +648,31 @@ class MeshRenderer:
         self.max_steps = required_march_steps(
             grid, float(params.ray_marching_step_size), config.max_march_steps
         )
+        self._steps_bound = lambda: max(1, min(
+            int(math.ceil(
+                self._occ_diag / float(self.params.ray_marching_step_size)
+            )) + 3,
+            self.max_steps,
+        ))
         self.state = RenderState.create(config.height, config.width)
         self.state = self.state.replace(
             accum=shard_rows(mesh, self.state.accum)
         )
         self._view = None
         self._view_key = None
+        self._path_view = None
+        self._path_view_key = None
+
+    @property
+    def _use_compact(self) -> bool:
+        """The round-2 fast path (occupied clip + brick-skipping march +
+        lane-compacted shade) applies whenever the view is exact-uncapped
+        and accumulation is f32 (compact-space accumulation)."""
+        return (
+            self.config.compact_view
+            and self.gather_samples == 0
+            and self.config.accum_dtype != "uint8"
+        )
 
     def _march_key(self):
         """Fields the baked march depends on (mirrors Renderer._current_view)."""
@@ -388,34 +691,103 @@ class MeshRenderer:
     def _current_view(self):
         key = self._march_key()
         if self._view is None or key != self._view_key:
-            self._view = build_view_sharded(
-                self.grid, self.params, config=self.config,
-                max_steps=self.max_steps, mesh=self.mesh,
-                gather_samples=self.gather_samples,
-            )
-            self._view_key = key
-        return self._view
-
-    def step(self, n: int = 1) -> RenderState:
-        if self.algorithm is Algorithm.PATH:
-            # PATH has per-frame stochastic marches — nothing to bake; use
-            # the uncached sharded step.
-            for _ in range(n):
-                self.state = sharded_render_step(
-                    self.grid, self.params, self.state,
-                    algorithm=self.algorithm, config=self.config,
+            self._view = None
+            if self._use_compact:
+                cell = max(1, int(
+                    8.0 // max(float(self.params.ray_marching_step_size),
+                               1e-6)
+                ))
+                self._view = build_compact_view_sharded(
+                    self.grid, self.params, self._clip, config=self.config,
+                    steps=self._steps_bound(), mesh=self.mesh,
+                    march_cell=cell,
+                )
+            else:
+                self._view = build_view_sharded(
+                    self.grid, self.params, config=self.config,
                     max_steps=self.max_steps, mesh=self.mesh,
                     gather_samples=self.gather_samples,
                 )
+            self._view_key = key
+        return self._view
+
+    def _shadow_lut_radius(self) -> int:
+        import math
+
+        from ..engine.params import Fidelity
+
+        if self.config.fidelity is not Fidelity.REFERENCE:
+            return 0
+        r = math.ceil(float(self.params.ray_marching_step_size))
+        return r if 0 < r <= self.config.shadow_lut_max_radius else 0
+
+    def _current_path_view(self, lut_radius: int):
+        """Multi-chip PathView, keyed like Renderer._current_path_view."""
+        import numpy as np
+
+        key = (
+            tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
+            tuple(np.asarray(self.params.camera_rotation)
+                  .reshape(-1).tolist()),
+            float(self.params.fov),
+            float(self.params.ray_max_distance),
+            float(self.params.ray_marching_step_size),
+            float(self.params.absorption_coefficient),
+            tuple(np.asarray(self.params.light_source_world_pos,
+                             np.float32).tolist()),
+            float(self.params.photon_initial_intensity),
+            lut_radius,
+        )
+        if self._path_view is None or key != self._path_view_key:
+            self._path_view = bake_path_view_sharded(
+                self.grid, self.params, config=self.config,
+                max_steps=self.max_steps, mesh=self.mesh,
+                shadow_lut_radius=lut_radius,
+            )
+            self._path_view_key = key
+        return self._path_view
+
+    # PATH cache budget, same derivation as Renderer.path_cache_budget_bytes
+    path_cache_budget_bytes: int = 1 << 31
+
+    def step(self, n: int = 1) -> RenderState:
+        if self.algorithm is Algorithm.PATH:
+            lut_r = self._shadow_lut_radius()
+            cache_bytes = (
+                self.config.width * self.config.height * self.max_steps * 5
+            )
+            if cache_bytes <= self.path_cache_budget_bytes:
+                cache = self._current_path_view(lut_r)
+                for _ in range(n):
+                    self.state = sharded_path_step_cached(
+                        self.grid, self.params, self.state, cache,
+                        config=self.config, max_steps=self.max_steps,
+                        mesh=self.mesh, shadow_lut_radius=lut_r,
+                    )
+            else:
+                for _ in range(n):
+                    self.state = sharded_render_step(
+                        self.grid, self.params, self.state,
+                        algorithm=self.algorithm, config=self.config,
+                        max_steps=self.max_steps, mesh=self.mesh,
+                        gather_samples=self.gather_samples,
+                    )
             return self.state
         view = self._current_view()
         remaining = n
         while remaining > 0:
             k = self.frame_batch if remaining >= self.frame_batch else 1
-            self.state = sharded_shade_step(
-                self.grid, self.params, self.state, view,
-                algorithm=self.algorithm, config=self.config,
-                max_steps=self.max_steps, mesh=self.mesh, n_frames=k,
-            )
+            if self._use_compact:
+                self.state = sharded_shade_compact_step(
+                    self.grid, self.params, self.state, view,
+                    algorithm=self.algorithm, config=self.config,
+                    max_steps=self.max_steps, mesh=self.mesh, n_frames=k,
+                )
+            else:
+                self.state = sharded_shade_step(
+                    self.grid, self.params, self.state, view,
+                    algorithm=self.algorithm, config=self.config,
+                    max_steps=self.max_steps, mesh=self.mesh, n_frames=k,
+                )
             remaining -= k
         return self.state
