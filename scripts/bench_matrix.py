@@ -18,18 +18,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+T0 = time.perf_counter()
+
+
+def note(msg: str) -> None:
+    print(f"[matrix {time.perf_counter() - T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def sync(x) -> float:
+    """Force execution with a 4-byte scalar readback.  The axon TPU client
+    is lazy (ops journal until the first D2H; jax.block_until_ready returns
+    at enqueue), so every timed region must end in a real readback — and a
+    scalar one, so transfer time doesn't pollute the measurement."""
+    return float(jnp.sum(x.astype(jnp.float32)))
+
 
 def measure(r, frames, warmup):
     r.step(warmup)
-    np.asarray(r.state.accum)
+    sync(r.state.accum)
     t0 = time.perf_counter()
     r.step(frames)
-    np.asarray(r.state.accum)
+    sync(r.state.accum)
     dt = time.perf_counter() - t0
     return r.config.width * r.config.height * frames / dt / 1e6, dt / frames
 
 
 def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    note("claiming TPU terminal (axon pool wait: can be minutes)...")
+    t_claim = time.perf_counter()
+    _ = float(jnp.zeros((), jnp.float32))
+    note(f"terminal claimed in {time.perf_counter() - t_claim:.0f}s")
+
     from volumerenderer_tpu import (
         Algorithm, Renderer, RenderParams, StaticConfig,
     )
@@ -50,20 +74,21 @@ def main() -> None:
         rows.append((label, spf * 1e3, mrays))
         print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s",
               flush=True)
+        note(f"done: {label}")
         del r
 
     A = Algorithm
     run("Point/VPL 1920x1080 (headline)", A.POINT, 1920, 1080)
     run("Point/VPL 1280x720", A.POINT, 1280, 720)
     run("Sphere/VSL 1280x720", A.SPHERE, 1280, 720)
-    run("Ray/VRL 1920x1080 discrete paired (default)", A.RAY, 1920, 1080,
-        frames=16)
-    run("Ray/VRL 1920x1080 discrete exact (bit-parity)", A.RAY, 1920, 1080,
-        frames=8, segment_eval="exact")
+    run("Ray/VRL 1920x1080 discrete paired (fast mode)", A.RAY, 1920, 1080,
+        frames=16, segment_eval="paired")
+    run("Ray/VRL 1920x1080 discrete exact (bit-parity, default)", A.RAY,
+        1920, 1080, frames=8)
     run("Ray/VRL 1920x1080 analytic", A.RAY, 1920, 1080, frames=16,
         segment_mode="analytic")
-    run("Beam/VBL 1920x1080 discrete paired (default)", A.BEAM, 1920, 1080,
-        frames=8)
+    run("Beam/VBL 1920x1080 discrete paired (fast mode)", A.BEAM, 1920,
+        1080, frames=8, segment_eval="paired")
     run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
         1080, frames=8, segment_mode="analytic")
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
@@ -100,24 +125,32 @@ def main() -> None:
         A.POINT, 1920, 1080, grid=gb, frames=16)
     del gb
 
-    # Moving camera (uncached view) at the headline config
-    r = Renderer(g96, StaticConfig(width=1920, height=1080), params,
-                 algorithm=A.POINT)
-    for fov in (44.9, 45.0):
-        r.set(fov=fov)
-        r.step(1)
-    np.asarray(r.state.accum)
-    t0 = time.perf_counter()
-    n_moving = 4
-    for i in range(n_moving):
-        r.set(fov=44.9 if i % 2 == 0 else 45.0)
-        r.step(1)
-    np.asarray(r.state.accum)
-    dt = (time.perf_counter() - t0) / n_moving
-    rows.append(("Point/VPL 1080p moving camera (view rebuilt every frame)",
-                 dt * 1e3, 1920 * 1080 / dt / 1e6))
-    print(f"{'Point/VPL 1080p moving camera':55s} {dt*1e3:8.1f} ms "
-          f"{1920*1080/dt/1e6:8.2f} Mrays/s", flush=True)
+    # Moving camera at the headline config: (a) default exact mode — the
+    # full device-side view rebuild every frame; (b) the opt-in interactive
+    # motion mode (StaticConfig.motion_mode="truncated", PARITY.md #18).
+    def run_moving(label, **cfg):
+        r = Renderer(g96, StaticConfig(width=1920, height=1080, **cfg),
+                     params, algorithm=A.POINT)
+        for fov in (44.9, 45.0):  # warm both parameter points
+            r.set(fov=fov)
+            r.step(1)
+        sync(r.state.accum)
+        t0 = time.perf_counter()
+        n_moving = 4
+        for i in range(n_moving):
+            r.set(fov=44.9 if i % 2 == 0 else 45.0)
+            r.step(1)
+        sync(r.state.accum)
+        dt = (time.perf_counter() - t0) / n_moving
+        rows.append((label, dt * 1e3, 1920 * 1080 / dt / 1e6))
+        print(f"{label:55s} {dt*1e3:8.1f} ms "
+              f"{1920*1080/dt/1e6:8.2f} Mrays/s", flush=True)
+        note(f"done: {label}")
+        del r
+
+    run_moving("Point/VPL 1080p moving camera (exact rebuild, default)")
+    run_moving("Point/VPL 1080p moving camera (motion_mode=truncated)",
+               motion_mode="truncated")
 
     with open(os.path.join(os.path.dirname(__file__), os.pardir,
                            "bench_matrix.json"), "w") as f:
