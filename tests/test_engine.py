@@ -2,6 +2,7 @@
 (src/main.cpp:649-698, 936-937) and the render_step frame flow."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
@@ -128,6 +129,7 @@ def test_u8_presentation():
     assert u8.dtype == np.uint8 and u8.shape == (12, 16, 3)
 
 
+@pytest.mark.slow
 def test_view_cache_matches_uncached():
     # The ViewCache is a pure memoization: cached and uncached sessions must
     # produce identical images for the gather algorithms.
@@ -229,3 +231,40 @@ def test_device_build_matches_host_build():
     assert r_auto.config.compact_build == "auto"
     steps = r_auto._max_steps
     assert r_auto._device_build_ok(steps)
+
+
+def test_motion_mode_truncated_then_settles_exact():
+    """motion_mode="truncated": while the camera changes between
+    consecutive frames, frames render through the short-cap device build
+    (approximate, fast); once the key repeats, the next step rebuilds the
+    exact view and subsequent frames match a reference session exactly."""
+    import dataclasses
+
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.config = dataclasses.replace(
+        r.config, motion_mode="truncated", motion_cap=8)
+    r.step(2)
+    settled_view = r._view
+    # Drag: three camera edits, one frame each -> motion path (exact view
+    # object untouched, view_exact may report truncation).
+    for y in (1.0, 2.0, 3.0):
+        r.set(camera_pos=[0.0, y, -15.0])
+        r.step(1)
+        img = r.image()
+        assert np.isfinite(img).all() and img.max() > 0
+    assert r._view is settled_view  # no exact rebuilds mid-drag
+    # Settle: key repeats -> exact rebuild; accumulation continues
+    # (reference semantics: sliders never reset, src/main.cpp:662-698).
+    r.step(1)
+    assert r._view is not settled_view and r.view_exact
+    fc = int(r.state.frame_count)
+    assert fc == 6
+
+    # Default (motion off) stays bit-exact under the same edit pattern:
+    # every frame rebuilds the exact view.
+    r_off = small_renderer(algorithm=Algorithm.POINT)
+    r_off.step(2)
+    v0 = r_off._view
+    r_off.set(camera_pos=[0.0, 1.0, -15.0])
+    r_off.step(1)
+    assert r_off._view is not v0  # exact rebuild even mid-"drag"

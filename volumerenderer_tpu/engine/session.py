@@ -139,11 +139,8 @@ class Renderer:
         ) + 3
         return box, max(1, min(steps, self.config.max_march_steps))
 
-    def _current_view(self, max_steps: int):
-        """The baked march for the current camera/volume/march params,
-        rebuilt when any dependency changes (camera edits invalidate; light
-        edits don't — matching which UBO fields the march reads)."""
-        key = (
+    def _make_view_key(self, max_steps: int):
+        return (
             tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
             tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
             float(self.params.fov),
@@ -156,6 +153,12 @@ class Renderer:
             self.gather_samples,
             self._grid_token,
         )
+
+    def _current_view(self, max_steps: int):
+        """The baked march for the current camera/volume/march params,
+        rebuilt when any dependency changes (camera edits invalidate; light
+        edits don't — matching which UBO fields the march reads)."""
+        key = self._make_view_key(max_steps)
         if key != self._view_key:
             # Release the stale view FIRST: at bunny_cloud scale it holds
             # multiple GB of HBM and coexisting with the rebuild would OOM.
@@ -372,6 +375,34 @@ class Renderer:
             n_rays=n_rays,
             rows=H,
         )
+    def _motion_steps(self, n: int, max_steps: int) -> RenderState:
+        """Camera-in-motion frames (config.motion_mode="truncated"): march
+        only the first motion_cap occupied samples per ray — the
+        transmittance-dominant front-to-back prefix — through the SAME
+        static-shape device build at a shorter cap, so every drag frame
+        re-runs one already-compiled program (no probe readback, no host
+        sort, no recompiles).  The settled camera takes the exact rebuild
+        on its next (key-stable) frame; the reference re-marches fully
+        every frame but on texture-unit hardware (src/main.cpp:620-934)."""
+        clip_box, view_steps = self._occupied_clip()
+        steps = min(self.config.motion_cap, view_steps, max_steps)
+        cell = max(
+            1, int(8.0 // max(float(self.params.ray_marching_step_size),
+                              1e-6))
+        )
+        self.view_exact = steps >= min(view_steps, max_steps)
+        mv = build_compact_view_device_step(
+            self.grid, self.params, clip_box,
+            config=self.config, steps=steps, march_cell=cell,
+        )
+        for _ in range(n):
+            self.state, self.lights = render_step_cached(
+                self.grid, self.params, self.state, mv,
+                algorithm=self.algorithm, config=self.config,
+                max_steps=max_steps,
+            )
+        return self.state
+
     # HBM budget for PATH's baked camera segment (PathView holds two
     # rays x steps planes); beyond it PATH renders uncached (the scatter
     # segments still run compacted either way).
@@ -407,6 +438,16 @@ class Renderer:
             return self.state
         cached = self.use_view_cache
         if cached:
+            key = self._make_view_key(max_steps)
+            moving = (
+                self.config.motion_mode != "off"
+                and self._view_key is not None
+                and key != self._view_key
+                and key != getattr(self, "_last_step_key", None)
+            )
+            self._last_step_key = key
+            if moving:
+                return self._motion_steps(n, max_steps)
             view = self._current_view(max_steps)
             remaining = n
             while remaining > 0:
