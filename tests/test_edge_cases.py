@@ -2,6 +2,7 @@
 anisotropic maps, reproducibility."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import reference_impl as ref
@@ -18,6 +19,7 @@ def small_config(**kw):
     return StaticConfig(**base)
 
 
+@pytest.mark.slow
 def test_empty_volume_black_frames():
     g = from_dense(np.zeros((16, 16, 16), np.float32),
                    translation=(-8.0, -8.0, 5.0))

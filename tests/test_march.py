@@ -1,6 +1,7 @@
 """Transmittance march vs a sequential per-ray reference loop."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import reference_impl as ref
@@ -142,6 +143,7 @@ def test_occupied_clip_bit_identical():
         assert nz_f == nz_c, i
 
 
+@pytest.mark.slow
 def test_session_uses_occupied_clip():
     import jax.numpy as jnp
     from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
@@ -165,6 +167,7 @@ def test_session_uses_occupied_clip():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_occupancy_compacted_march_bit_identical():
     """Brick-skipping march (occupied_cap) must reproduce the full march
     exactly up to cumprod tree association: identical nonzero SUPPORT

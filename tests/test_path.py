@@ -30,6 +30,7 @@ def make_scene(fidelity=Fidelity.REFERENCE):
     return g, params, config
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("frame_count", [1, 3])
 def test_path_matches_oracle_reference_fidelity(frame_count):
     g, params, config = make_scene()
@@ -42,6 +43,7 @@ def test_path_matches_oracle_reference_fidelity(frame_count):
     np.testing.assert_allclose(frame, want, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_path_corrected_fidelity_runs_and_differs():
     g, params, config = make_scene(Fidelity.CORRECTED)
     steps = color.required_march_steps(g, float(params.ray_marching_step_size),
@@ -78,6 +80,7 @@ def _render(g, params, config, frame_count=2, **kw):
                                         **kw)), steps
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("prob", [0.2, 0.9])
 def test_path_compaction_matches_full_width(prob):
     """Compacted scatter segments (path_compact_min small -> caps bind)
@@ -101,6 +104,7 @@ def test_path_shadow_lut_is_exact():
     np.testing.assert_array_equal(with_lut, without)
 
 
+@pytest.mark.slow
 def test_path_cached_matches_inline():
     """render_frame(cache=bake_path_view(...)) == render_frame()."""
     g, params, config = _bigger_scene(path_compact_min=64)

@@ -43,6 +43,7 @@ def _single_device_frames(g, params, config, algorithm, n_frames=2):
 @pytest.mark.parametrize(
     "algorithm", [Algorithm.POINT, Algorithm.RAY, Algorithm.PATH]
 )
+@pytest.mark.slow
 def test_row_sharded_matches_single_device(algorithm):
     assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
     g, params, config = scene()
@@ -82,6 +83,7 @@ def test_mesh_validation():
         sharding.make_mesh(jax.devices()[:6], lights_axis=4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("lights_axis", [1, 4])
 def test_mesh_renderer_cached_matches_single_device(lights_axis):
     from volumerenderer_tpu.parallel.sharding import MeshRenderer
@@ -101,6 +103,7 @@ def test_mesh_renderer_cached_matches_single_device(lights_axis):
     assert int(mr.state.frame_count) == 2
 
 
+@pytest.mark.slow
 def test_mesh_renderer_path_cached():
     """Multi-chip PATH renders through the sharded PathView (baked camera
     segment per device) and still equals the single-device uncached step."""
@@ -117,6 +120,7 @@ def test_mesh_renderer_path_cached():
         np.asarray(mr.state.accum), want, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_renderer_batched_dispatch_matches_per_frame():
     """step(8) runs as ONE sharded dispatch (n_frames=8 fori_loop); results
     must equal eight separate single-frame dispatches."""
