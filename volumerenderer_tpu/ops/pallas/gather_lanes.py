@@ -92,23 +92,6 @@ def _point_kernel(meta_ref, rad_ref, lx_ref, ly_ref, lz_ref, li_ref,
 PAIR_BIG = 1e9  # "discarded" q for the paired eval; contributes <= 1e-9
 
 
-def _fast_dist(d2):
-    """sqrt(d2) via bit-trick inverse sqrt + two Newton steps (~5e-6
-    relative) — used ONLY by the approximate ``paired`` evaluation, whose
-    documented reassociation budget it fits; exact mode keeps jnp.sqrt.
-    The VPU executes the shift/multiply chain in single-slot ops where the
-    exact sqrt serializes a multi-slot sequence (Beam discrete is
-    sqrt-bound: one distance per sample x sub-light,
-    beam_compute_color.comp:11-26)."""
-    y = pltpu.bitcast(
-        jnp.int32(0x5F3759DF) - (pltpu.bitcast(d2, jnp.int32) >> 1),
-        jnp.float32,
-    )
-    y = y * (1.5 - 0.5 * d2 * y * y)
-    y = y * (1.5 - 0.5 * d2 * y * y)
-    return d2 * y  # d2 * rsqrt(d2) == sqrt(d2); exact 0 at d2 == 0
-
-
 def _discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref, ux_ref,
                      uy_ref, uz_ref, ns_ref, ii_ref, need_ref,
                      px_ref, py_ref, pz_ref, w_ref, o_ref,
@@ -138,7 +121,7 @@ def _discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref, ux_ref,
             dz = pz - (az + sf * uz)
             d2 = dx * dx + dy * dy + dz * dz
             if sphere:
-                dist = _fast_dist(d2) if paired else jnp.sqrt(d2)
+                dist = jnp.sqrt(d2)
                 dd = dist - radius
                 d2e = dd * dd
                 bad = (d2e < GUARD) | (dist == 0.0)

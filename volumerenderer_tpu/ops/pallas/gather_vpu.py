@@ -200,12 +200,7 @@ def _segment_discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref,
             dz = pz - (az + sf * uz)
             d2 = dx * dx + dy * dy + dz * dz
             if sphere:
-                # paired (approximate) mode trades the exact sqrt for the
-                # bit-trick inverse sqrt (gather_lanes._fast_dist) within
-                # its documented reassociation budget.
-                from .gather_lanes import _fast_dist
-
-                dist = _fast_dist(d2) if paired else jnp.sqrt(d2)
+                dist = jnp.sqrt(d2)
                 dd = dist - radius
                 d2e = dd * dd
                 bad = (d2e < GUARD) | (dist == 0.0)
