@@ -81,7 +81,24 @@ def _kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref, ux_ref,
                         dz = pz - (az + sf * uz)
                         d2 = dx * dx + dy * dy + dz * dz
                     if sphere:
-                        dist = jnp.sqrt(d2)
+                        # Sphere-distance variants under identical pairing:
+                        #   (default)  exact jnp.sqrt
+                        #   *_rsq      dist = d2 * rsqrt(d2) (hardware rsqrt)
+                        #   *_fast     bit-trick inverse sqrt + 2 Newton
+                        if variant.endswith("_rsq"):
+                            dist = d2 * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                        elif variant.endswith("_fast"):
+                            y = jax.lax.bitcast_convert_type(
+                                jnp.int32(0x5F3759DF)
+                                - (jax.lax.bitcast_convert_type(
+                                    d2, jnp.int32) >> 1),
+                                jnp.float32,
+                            )
+                            y = y * (1.5 - 0.5 * d2 * y * y)
+                            y = y * (1.5 - 0.5 * d2 * y * y)
+                            dist = d2 * y
+                        else:
+                            dist = jnp.sqrt(d2)
                         dd = dist - radius
                         d2e = dd * dd
                         bad = (d2e < GUARD) | (dist == 0.0) | (s >= ns)
@@ -101,7 +118,7 @@ def _kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref, ux_ref,
             return acc + ii * part
 
         def seg(k, acc):
-            if variant in ("pair4", "quadpair4"):
+            if variant.startswith(("pair4", "quadpair4")):
                 return seg_pair4(k, acc)
             ax, ay, az = ax_ref[k], ay_ref[k], az_ref[k]
             ux, uy, uz = ux_ref[k], uy_ref[k], uz_ref[k]
@@ -220,7 +237,10 @@ def main():
     for sphere in (False, True):
         name = "BEAM" if sphere else "RAY"
         ref = None
-        for variant in ("exact", "quad_rsqrt", "pair4", "quadpair4"):
+        variants = ("exact", "quad_rsqrt", "pair4", "quadpair4")
+        if sphere:
+            variants += ("quadpair4_rsq", "quadpair4_fast")
+        for variant in variants:
             out, dt = run(variant, sphere, planes, scalars, block_need, Cp, Rc)
             if ref is None:
                 ref = out
