@@ -233,6 +233,31 @@ def test_device_build_matches_host_build():
     assert r_auto._device_build_ok(steps)
 
 
+def test_identity_order_build_matches_occupancy_order():
+    """order="identity" (the motion path's build: no occupancy pre-march,
+    no lane sort) is a pure re-layout — shaded results must be IDENTICAL
+    to the occupancy-sorted device build."""
+    from volumerenderer_tpu.engine.step import (
+        build_compact_view_device_step, render_step_cached)
+
+    r1 = small_renderer(algorithm=Algorithm.POINT)
+    r2 = small_renderer(algorithm=Algorithm.POINT)
+    clip_box, steps = r1._occupied_clip()
+    v_occ = build_compact_view_device_step(
+        r1.grid, r1.params, clip_box, config=r1.config, steps=steps,
+        march_cell=4)
+    v_id = build_compact_view_device_step(
+        r1.grid, r1.params, clip_box, config=r1.config, steps=steps,
+        march_cell=4, order="identity")
+    s1, _ = render_step_cached(r1.grid, r1.params, r1.state, v_occ,
+                               algorithm=Algorithm.POINT, config=r1.config,
+                               max_steps=steps)
+    s2, _ = render_step_cached(r2.grid, r2.params, r2.state, v_id,
+                               algorithm=Algorithm.POINT, config=r2.config,
+                               max_steps=steps)
+    np.testing.assert_array_equal(np.asarray(s1.accum), np.asarray(s2.accum))
+
+
 def test_motion_mode_truncated_then_settles_exact():
     """motion_mode="truncated": while the camera changes between
     consecutive frames, frames render through the short-cap device build

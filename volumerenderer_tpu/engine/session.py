@@ -394,6 +394,7 @@ class Renderer:
         mv = build_compact_view_device_step(
             self.grid, self.params, clip_box,
             config=self.config, steps=steps, march_cell=cell,
+            order="identity",
         )
         for _ in range(n):
             self.state, self.lights = render_step_cached(

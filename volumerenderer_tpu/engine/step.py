@@ -192,7 +192,7 @@ def build_view_rays_step(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "steps", "num_rows", "march_cell",
-                     "band_lanes"),
+                     "band_lanes", "order"),
 )
 def build_compact_view_device_step(
     grid: DenseGrid,
@@ -205,14 +205,17 @@ def build_compact_view_device_step(
     num_rows: int | None = None,
     march_cell: int = 8,
     band_lanes: int = 512 * 1024,
+    order: str = "occupancy",
 ):
     """One-dispatch, zero-host-sync compact-view build
     (render.color.build_compact_view_device): static shapes for every
-    camera, so camera motion re-runs this exact compiled program."""
+    camera, so camera motion re-runs this exact compiled program.
+    ``order="identity"`` additionally skips the occupancy pre-march +
+    lane sort (for single-use mid-drag views)."""
     return color_mod.build_compact_view_device(
         grid, params, config, steps, clip_box=clip_box,
         row_start=row_start, num_rows=num_rows, march_cell=march_cell,
-        band_lanes=band_lanes,
+        band_lanes=band_lanes, order=order,
     )
 
 
