@@ -69,3 +69,16 @@ def test_gather_matches_sum_of_scalars():
         sum(ref.sphere_light_contribution(s, lpos[i], lint[i], 0.25) for i in range(5))
         for s in samples])
     np.testing.assert_allclose(got_s, want_s, rtol=2e-4)
+
+
+def test_blocked_cumsum_matches_serial():
+    """ops.scan.cumsum_1d (two-level blocked prefix sum — the serial 1-D
+    jnp.cumsum measured 1.35 ms for 65536 int32 on v5e) is bit-equal to
+    jnp.cumsum for int32 across block-divisible, non-divisible, tiny,
+    and recursive (n // 256 > 256) lengths."""
+    from volumerenderer_tpu.ops.scan import cumsum_1d
+    rs = np.random.RandomState(11)
+    for n in (1, 5, 256, 1024, 4096, 4100, 65536, 262144):
+        x = jnp.asarray(rs.randint(-50, 50, size=n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(cumsum_1d(x)), np.asarray(jnp.cumsum(x)))

@@ -95,6 +95,48 @@ def test_path_compaction_matches_full_width(prob):
     np.testing.assert_array_equal(compact, full)
 
 
+def test_path_frame_batched_is_exact():
+    """render_frames (F frames, scatter segments batched ACROSS frames,
+    engine.step.render_path_steps_cached's core) is BIT-IDENTICAL per
+    frame to render_frame on the same PathView — frames are independent
+    seed streams, so their scatter states concatenate."""
+    g, params, config = _bigger_scene(path_compact_min=64)
+    steps = color.required_march_steps(
+        g, float(params.ray_marching_step_size), config.max_march_steps)
+    cache = path.bake_path_view(g, params, config, steps)
+    fcs = jnp.arange(1, 4, dtype=jnp.int32)
+    batch = np.asarray(
+        path.render_frames(g, params, fcs, config, steps, cache))
+    assert batch.shape == (3, config.height, config.width)
+    for i, fc in enumerate((1, 2, 3)):
+        single = np.asarray(
+            path.render_frame(g, params, fc, config, steps, cache=cache))
+        np.testing.assert_array_equal(batch[i], single)
+
+
+@pytest.mark.parametrize("cell,subblock",
+                         [(2, 32), (4, 32), (4, 24)])
+def test_path_occupied_cell_march_is_exact(cell, subblock):
+    """Scatter segments marching only occupied coarse cells
+    (march_cell > 1: dilated-brick superset, the camera march's skipping)
+    are BIT-IDENTICAL to the raw walk — skipped cells have exactly-zero
+    density, so they host no roll sites and consume no RNG draws.
+    cell * step must stay <= one 8-voxel brick pitch (step=1 here).
+    subblock=24 forces n_cells % cell-block != 0 (the padded-slice
+    path)."""
+    g, params, config = _bigger_scene(path_compact_min=64,
+                                      path_subblock=subblock)
+    raw, _ = _render(g, params, config)
+    skipped, _ = _render(g, params, config, march_cell=cell)
+    np.testing.assert_array_equal(raw, skipped)
+    # Also through the full-width (uncompacted-rays) path.
+    import dataclasses
+    full_cfg = dataclasses.replace(config, path_compact_min=1 << 30)
+    raw_f, _ = _render(g, params, full_cfg)
+    skipped_f, _ = _render(g, params, full_cfg, march_cell=cell)
+    np.testing.assert_array_equal(raw_f, skipped_f)
+
+
 def test_path_shadow_lut_is_exact():
     """The shadow-probe LUT is bit-equal to the gathered probe (same
     floor(probe) voxel, R >= ceil(step))."""

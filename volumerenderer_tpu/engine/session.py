@@ -35,6 +35,7 @@ from .step import (
     camera_rays_index_step,
     occupancy_counts_rays_step,
     render_path_step_cached,
+    render_path_steps_cached,
     render_step,
     render_step_cached,
     render_steps_cached,
@@ -409,10 +410,28 @@ class Renderer:
     # segments still run compacted either way).
     path_cache_budget_bytes: int = 1 << 31
 
+    # PATH frames per dispatch (engine.step.render_path_steps_cached,
+    # bit-identical to single steps).  Default 1: the scatter walk is
+    # fetch-rate-bound, not dispatch-bound — batching x4/x8/x16 measured
+    # 47-48 ms/frame vs 42.4 single at 256^2 on v5e (the F-times-wider
+    # chunk ops pay F times the gather time, plus padding waste).
+    path_frame_batch: int = 1
+
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
         if self.algorithm is Algorithm.PATH:
             lut_r = self._shadow_lut_radius()
+            # Scatter-segment empty-space skipping: off by default
+            # (StaticConfig.path_march_cell — measured slower on v5e);
+            # 0 = auto-derive the largest exact cell as the camera view
+            # build does (cell*step <= one 8-voxel brick pitch).
+            cell = self.config.path_march_cell
+            if cell == 0:
+                cell = max(
+                    1,
+                    int(8.0 // max(
+                        float(self.params.ray_marching_step_size), 1e-6)),
+                )
             cache_bytes = (
                 self.config.width * self.config.height * max_steps * 5
             )
@@ -421,12 +440,24 @@ class Renderer:
                 and cache_bytes <= self.path_cache_budget_bytes
             ):
                 cache = self._current_path_view(max_steps, lut_r)
-                for _ in range(n):
-                    self.state, self.lights = render_path_step_cached(
-                        self.grid, self.params, self.state, cache,
-                        config=self.config, max_steps=max_steps,
-                        shadow_lut_radius=lut_r,
-                    )
+                remaining = n
+                while remaining > 0:
+                    k = (self.path_frame_batch
+                         if remaining >= self.path_frame_batch else 1)
+                    if k == 1:
+                        self.state, self.lights = render_path_step_cached(
+                            self.grid, self.params, self.state, cache,
+                            config=self.config, max_steps=max_steps,
+                            shadow_lut_radius=lut_r, march_cell=cell,
+                        )
+                    else:
+                        self.state, self.lights = render_path_steps_cached(
+                            self.grid, self.params, self.state, cache,
+                            config=self.config, max_steps=max_steps,
+                            n_frames=k, shadow_lut_radius=lut_r,
+                            march_cell=cell,
+                        )
+                    remaining -= k
             else:
                 for _ in range(n):
                     self.state, self.lights = render_step(
@@ -434,7 +465,7 @@ class Renderer:
                         algorithm=self.algorithm, config=self.config,
                         max_steps=max_steps,
                         gather_samples=self.gather_samples,
-                        shadow_lut_radius=lut_r,
+                        shadow_lut_radius=lut_r, march_cell=cell,
                     )
             return self.state
         cached = self.use_view_cache

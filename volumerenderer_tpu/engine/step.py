@@ -26,7 +26,7 @@ from .state import RenderState, accumulate
 @functools.partial(
     jax.jit,
     static_argnames=("algorithm", "config", "max_steps", "gather_samples",
-                     "shadow_lut_radius"),
+                     "shadow_lut_radius", "march_cell"),
     donate_argnames=("state",),
 )
 def render_step(
@@ -39,6 +39,7 @@ def render_step(
     max_steps: int,
     gather_samples: int = 0,
     shadow_lut_radius: int = 0,
+    march_cell: int = 1,
 ):
     """Advance one frame: returns (new_state, lights).
 
@@ -53,7 +54,7 @@ def render_step(
         lights = photon.empty_lights(config)
         frame = path_mod.render_frame(
             grid, params, frame_count, config, max_steps,
-            shadow_lut_radius=shadow_lut_radius,
+            shadow_lut_radius=shadow_lut_radius, march_cell=march_cell,
         )
     else:
         lights = photon.generate_lights(
@@ -331,7 +332,8 @@ def bake_path_view_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_steps", "shadow_lut_radius"),
+    static_argnames=("config", "max_steps", "shadow_lut_radius",
+                     "march_cell"),
     donate_argnames=("state",),
 )
 def render_path_step_cached(
@@ -343,6 +345,7 @@ def render_path_step_cached(
     config: StaticConfig,
     max_steps: int,
     shadow_lut_radius: int = 0,
+    march_cell: int = 1,
 ):
     """Steady-state PATH frame: camera segment from the baked PathView
     (RNG + prefix lookup, zero volume fetches), compacted scatter
@@ -353,11 +356,53 @@ def render_path_step_cached(
     frame = path_mod.render_frame(
         grid, params, frame_count, config, max_steps,
         shadow_lut_radius=shadow_lut_radius, cache=cache,
+        march_cell=march_cell,
     )
     new_accum = accumulate(
         accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
     )
     return RenderState(accum=new_accum, frame_count=frame_count), lights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_steps", "shadow_lut_radius",
+                     "march_cell", "n_frames"),
+    donate_argnames=("state",),
+)
+def render_path_steps_cached(
+    grid: DenseGrid,
+    params: RenderParams,
+    state: RenderState,
+    cache,
+    *,
+    config: StaticConfig,
+    max_steps: int,
+    n_frames: int,
+    shadow_lut_radius: int = 0,
+    march_cell: int = 1,
+):
+    """``n_frames`` steady-state PATH frames as ONE dispatch, scatter
+    segments batched ACROSS frames (render.path.render_frames): per-op
+    shapes grow n_frames-fold, amortizing the per-op dispatch overhead
+    that dominates small-image PATH.  The accumulation update is applied
+    sequentially per frame — bit-identical to n_frames single steps."""
+    fcs = state.frame_count + 1 + jnp.arange(n_frames, dtype=jnp.int32)
+    frames = path_mod.render_frames(
+        grid, params, fcs, config, max_steps, cache,
+        shadow_lut_radius=shadow_lut_radius, march_cell=march_cell,
+    )
+    accum = state.accum
+    for i in range(n_frames):
+        fc = fcs[i]
+        accum = jnp.where(fc == 1, 0.0, accum)
+        accum = accumulate(
+            accum, frames[i], fc, quantize_u8=config.accum_dtype == "uint8"
+        )
+    return (
+        RenderState(accum=accum, frame_count=state.frame_count + n_frames),
+        photon.empty_lights(config),
+    )
 
 
 @functools.partial(

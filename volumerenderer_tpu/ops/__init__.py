@@ -1,1 +1,1 @@
-from . import camera, gather, intersect, lights, march, rng
+from . import camera, gather, intersect, lights, march, rng, scan

@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .scan import cumsum_1d
+
 GUARD = 1e-4  # d^2 guard from common_functions.h:190
 FOUR_PI = 4.0 * 3.14159265358979323846
 
@@ -111,7 +113,7 @@ def compact_valid(positions, intensities, valid, capacity: int):
     rank, drop overflow (counted).  Returns (pos (C,3), inten (C,), valid
     (C,), n_dropped).
     """
-    rank = jnp.cumsum(valid.astype(jnp.int32))
+    rank = cumsum_1d(valid.astype(jnp.int32))
     keep = valid & (rank <= capacity)
     dest = jnp.where(keep, rank - 1, capacity)
     out_pos = jnp.zeros((capacity, 3), positions.dtype).at[dest].set(

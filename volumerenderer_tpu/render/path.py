@@ -65,6 +65,7 @@ from ..engine.params import Fidelity, RenderParams, StaticConfig
 from ..grid.dense import DenseGrid
 from ..ops import camera, intersect, rng
 from ..ops.march import ENTRY_EPS, ray_positions, t_grid
+from ..ops.scan import cumsum_1d
 
 
 class PathView(NamedTuple):
@@ -276,7 +277,7 @@ def _seg1_frame(params, S, o, d, tmin, tmax, live, roll_site, prefix, seed0):
 
 
 def _walk_chunk(grid, params, config, lut, S, light_local,
-                o, d, seed0, seed_draws, tmax, alive):
+                o, d, seed0, seed_draws, tmax, alive, march_cell=1):
     """One scatter segment for a chunk of rays: t0 = step (the reference
     resets currentT on scatter), march to the per-ray original tmax.
     Returns (d_color, origin', dir', seed_draws', alive').
@@ -286,12 +287,22 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
     own box exit (density is exactly 0 beyond, so no further roll site
     can exist), or past tmax.  Typical segments resolve in 2-4 blocks of
     the worst-case S/32, cutting the chunk's gather volume accordingly;
-    results are exact (skipped blocks are provably all-masked)."""
+    results are exact (skipped blocks are provably all-masked).
+
+    ``march_cell > 1`` additionally compacts the sample axis to OCCUPIED
+    coarse cells first (the camera march's dilated-brick superset,
+    ops.march._select_cells): scatter rays only fetch/roll at samples
+    whose ``march_cell``-sample cell touches an occupied brick.  Exact —
+    skipped cells have exactly-zero density, so they host no roll sites,
+    consume no RNG draws, and add no contribution; the caller guarantees
+    ``march_cell * step <= one 8-voxel brick pitch`` (engine.session
+    derives the cell exactly as for the camera view build)."""
+    from ..ops.march import _select_cells
+
     step = params.ray_marching_step_size
     prob = params.scattering_probability
     n = o.shape[0]
     SB = min(max(8, config.path_subblock), S)
-    n_sb = -(-S // SB)
     t0 = jnp.full((n,), 1.0, jnp.float32) * step
     # Per-row stop distance: box exit from the segment origin (origins are
     # scatter sites inside the volume; a straight ray never re-enters a
@@ -302,12 +313,48 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
     )
     stop_t = jnp.minimum(tmax, seg_exit)
 
+    C = march_cell
+    if C > 1:
+        # Occupied-cell compaction: selected cells, in ascending-t order
+        # (top_k over descending keys), per-ray selected count.
+        sel_c, n_cells = _select_cells(
+            grid, o, d, t0, stop_t, alive,
+            step_size=step, max_steps=S, cell=C,
+        )
+        ci = jnp.arange(n_cells, dtype=jnp.int32)
+        key = jnp.where(sel_c, n_cells - ci, 0)
+        kv, idx_c = jax.lax.top_k(key, n_cells)
+        cell_ok = kv > 0
+        ncell_sel = jnp.sum(sel_c.astype(jnp.int32), axis=-1)
+        CB = max(1, SB // C)
+        n_sb = -(-n_cells // CB)
+        pad = n_sb * CB - n_cells
+        if pad:
+            # Pad to a CB multiple so the block slice never clamps (a
+            # clamped slice would re-walk tail cells: double contribution
+            # + double RNG-rank count).  Padding rows are ok=False.
+            idx_c = jnp.pad(idx_c, ((0, 0), (0, pad)))
+            cell_ok = jnp.pad(cell_ok, ((0, 0), (0, pad)))
+    else:
+        n_sb = -(-S // SB)
+
     def block(carry):
         j, found, color, rank_base, scat_t, draws_sc, _all_done = carry
-        ks = (j * SB + jnp.arange(SB)).astype(jnp.float32)
-        t = t_grid(t0, ks, step)
+        if C > 1:
+            cells_j = jax.lax.dynamic_slice_in_dim(idx_c, j * CB, CB, axis=1)
+            ok_j = jax.lax.dynamic_slice_in_dim(cell_ok, j * CB, CB, axis=1)
+            jj = jnp.arange(C, dtype=jnp.int32)
+            kf = (cells_j[:, :, None] * C + jj).reshape(n, CB * C)
+            valid = jnp.repeat(ok_j, C, axis=-1) & (kf < S)
+            t = t_grid(t0, kf.astype(jnp.float32), step)
+        else:
+            ks = (j * SB + jnp.arange(SB)).astype(jnp.float32)
+            valid = None
+            t = t_grid(t0, ks, step)
         pos = ray_positions(o, d, t)
         val = grid.sample_nearest(pos)
+        if valid is not None:
+            val = jnp.where(valid, val, 0.0)
         roll_site = (val > 0.0) & alive[:, None] & (t < tmax[:, None])
         rank = rank_base[:, None] + jnp.cumsum(
             roll_site.astype(jnp.uint32), axis=-1
@@ -330,7 +377,12 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
         draws_sc = jnp.where(newly, pick(rank), draws_sc)
         found = found | newly
         rank_base = rank[:, -1]
-        done = ~alive | found | (t[:, -1] >= stop_t)
+        if C > 1:
+            # A ray past its last selected cell sees only exact-zero
+            # density — no further roll site, draw, or contribution.
+            done = ~alive | found | ((j + 1) * CB >= ncell_sel)
+        else:
+            done = ~alive | found | (t[:, -1] >= stop_t)
         return (j + 1, found, color, rank_base, scat_t, draws_sc,
                 jnp.all(done))
 
@@ -371,20 +423,21 @@ def _chunk_for(n: int, tile: int) -> int:
 
 
 def _walk_segment(grid, params, config, lut, S, light_local,
-                  o, d, seed0, seed_draws, tmax, alive):
+                  o, d, seed0, seed_draws, tmax, alive, march_cell=1):
     """_walk_chunk tiled over ray chunks (bounds the (chunk, S) gather
     temporaries; n is a multiple of the chunk size by construction)."""
     n = o.shape[0]
     chunk = _chunk_for(n, config.ray_tile)
     if n == chunk:
         return _walk_chunk(grid, params, config, lut, S, light_local,
-                           o, d, seed0, seed_draws, tmax, alive)
+                           o, d, seed0, seed_draws, tmax, alive,
+                           march_cell=march_cell)
     m = n // chunk
     r3 = lambda a: a.reshape(m, chunk, 3)
     r1 = lambda a: a.reshape(m, chunk)
     out = jax.lax.map(
         lambda args: _walk_chunk(grid, params, config, lut, S, light_local,
-                                 *args),
+                                 *args, march_cell=march_cell),
         (r3(o), r3(d), r3(seed0), r1(seed_draws), r1(tmax), r1(alive)),
     )
     dc, o2, d2, sd2, al2 = out
@@ -399,7 +452,7 @@ def _compact_indices(alive, cap):
     lands at slot r.  Exact when the alive count fits the cap — the caller
     guards that with a lax.cond."""
     n = alive.shape[0]
-    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    pos = cumsum_1d(alive.astype(jnp.int32)) - 1
     tgt = jnp.where(alive & (pos < cap), pos, cap)
     idx = (
         jnp.zeros((cap + 1,), jnp.int32)
@@ -412,7 +465,7 @@ def _compact_indices(alive, cap):
 
 
 def _scatter_segments(grid, params, config, lut, S, light_local,
-                      seed0, state):
+                      seed0, state, march_cell=1):
     """Unrolled segments 2..max_path_segments, each marching only the
     alive rays (module docstring, level 3): compact the alive indices
     (cumsum + scatter, order-preserving), then a ``while_loop`` walks a
@@ -434,6 +487,7 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                 dc, o2, d2, sd2, al2 = _walk_segment(
                     grid, params, config, lut, S, light_local,
                     o, d, seed0, seed_draws, tmax, alive,
+                    march_cell=march_cell,
                 )
                 return (color + dc, o2, d2, sd2, al2)
 
@@ -460,6 +514,7 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                 grid, params, config, lut, S, light_local,
                 take(o), take(d), take(seed0), take(seed_draws),
                 take(tmax), take(alive) & row_valid,
+                march_cell=march_cell,
             )
             # Scatter back; padding rows are routed out of bounds and
             # dropped (a duplicate in-bounds write would race row 0).
@@ -537,6 +592,7 @@ def render_frame(
     num_rows: int | None = None,
     shadow_lut_radius: int = 0,
     cache: PathView | None = None,
+    march_cell: int = 1,
 ) -> jax.Array:
     """One PATH frame. Returns (num_rows, W) scalar radiance in [0, 1].
 
@@ -597,8 +653,86 @@ def render_frame(
 
     if config.max_path_segments > 1:
         color = _scatter_segments(
-            grid, params, config, lut, S, light_local, seeds, state
+            grid, params, config, lut, S, light_local, seeds, state,
+            march_cell=march_cell,
         )
     else:
         color = state[0]
     return jnp.clip(color[:n_rays], 0.0, 1.0).reshape(rows, W)
+
+
+def render_frames(
+    grid: DenseGrid,
+    params: RenderParams,
+    frame_counts,
+    config: StaticConfig,
+    max_steps: int,
+    cache: PathView,
+    row_start=0,
+    num_rows: int | None = None,
+    shadow_lut_radius: int = 0,
+    march_cell: int = 1,
+) -> jax.Array:
+    """``len(frame_counts)`` cached PATH frames in ONE program, with the
+    scatter segments batched ACROSS frames.  Returns (F, rows, W).
+
+    At small images PATH is dominated by per-op fixed overhead: a 256^2
+    frame's scatter chunks are (2048, 32)-shaped ops whose dispatch cost
+    exceeds their arithmetic (measured ~4.2 ms per segment regardless of
+    the alive count).  Frames are fully independent — each consumes its
+    own per-ray seed streams — so their scatter states CONCATENATE: one
+    compaction + one chunk walk over all frames' alive rays makes every
+    op F times larger for the same total work.  Per-frame results are
+    IDENTICAL to ``render_frame`` called per frame (same seeds, same
+    walk, same clamp); only op shapes change.  The chunk width scales by
+    F so the fixed-cost amortization actually materializes."""
+    H, W = config.height, config.width
+    rows = H if num_rows is None else num_rows
+    n_rays = rows * W
+    S = max_steps
+    F = frame_counts.shape[0]
+    lut = _make_lut(grid, params, config, shadow_lut_radius)
+    light_local = grid.world_to_index(params.light_source_world_pos)
+
+    n_pad = cache.o_i.shape[0]
+    tile = min(config.ray_tile, n_pad)
+    m = n_pad // tile
+    r3 = lambda a: a.reshape(m, tile, 3)
+    r1 = lambda a: a.reshape(m, tile)
+    r2 = lambda a: a.reshape(m, tile, S)
+
+    def frame_seg1(fc):
+        seeds = _seeds(W, rows, row_start, fc, n_pad)
+        color, o2, d2, sd2, al2 = jax.lax.map(
+            lambda args: _seg1_frame(params, S, *args),
+            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
+             r1(cache.live), r2(cache.roll_site), r2(cache.prefix),
+             r3(seeds)),
+        )
+        return (color.reshape(n_pad), o2.reshape(n_pad, 3),
+                d2.reshape(n_pad, 3), sd2.reshape(n_pad),
+                al2.reshape(n_pad), seeds)
+
+    color, o2, d2, sd2, al2, seeds = jax.lax.map(frame_seg1, frame_counts)
+
+    flat = lambda a: a.reshape((F * n_pad,) + a.shape[2:])
+    tmaxF = jnp.broadcast_to(cache.tmax, (F, n_pad))
+    state = (flat(color), flat(o2), flat(d2), flat(sd2), flat(tmaxF),
+             flat(al2))
+
+    if config.max_path_segments > 1:
+        import dataclasses
+
+        cfgF = dataclasses.replace(
+            config,
+            path_chunk=config.path_chunk * F,
+            path_compact_min=config.path_compact_min,
+        )
+        colorF = _scatter_segments(
+            grid, params, cfgF, lut, S, light_local, flat(seeds), state,
+            march_cell=march_cell,
+        )
+    else:
+        colorF = state[0]
+    out = colorF.reshape(F, n_pad)[:, :n_rays]
+    return jnp.clip(out, 0.0, 1.0).reshape(F, rows, W)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..engine.params import RenderParams, StaticConfig
 from ..grid.dense import DenseGrid
 from ..ops import intersect, rng
+from ..ops.scan import cumsum_1d
 
 
 class LightArray(NamedTuple):
@@ -251,7 +252,7 @@ def generate_lights(
     valid_flat = (
         jnp.arange(K)[None, :] < carry["n_events"][:, None]
     ).reshape(P * K)
-    rank = jnp.cumsum(valid_flat.astype(jnp.int32))  # 1-based among valid
+    rank = cumsum_1d(valid_flat.astype(jnp.int32))  # 1-based among valid
     keep = valid_flat & (rank <= params.max_lights)
     L = config.light_capacity
     dest = jnp.where(keep, rank - 1, L)  # L == dropped (mode="drop")
