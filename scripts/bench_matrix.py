@@ -152,6 +152,24 @@ def main() -> None:
     run_moving("Point/VPL 1080p moving camera (motion_mode=truncated)",
                motion_mode="truncated")
 
+    # Multi-chip parity (VERDICT r2 #6): MeshRenderer on a 1-device TPU
+    # mesh must track the single-chip Renderer.  One throwaway timed
+    # round first — the axon lazy client defers build/teardown work into
+    # the first post-warmup round (measured 52 -> 21 ms/frame).
+    from jax.sharding import Mesh
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    mr = MeshRenderer(g96, mesh, StaticConfig(width=1920, height=1080),
+                      params, A.POINT)
+    mrays, spf = measure(mr, 32, 8)  # throwaway (deferred lazy work)
+    mrays, spf = measure(mr, 32, 0)
+    label = "Point/VPL 1080p MeshRenderer (1-device TPU mesh)"
+    rows.append((label, spf * 1e3, mrays))
+    print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s", flush=True)
+    note(f"done: {label}")
+    del mr
+
     with open(os.path.join(os.path.dirname(__file__), os.pardir,
                            "bench_matrix.json"), "w") as f:
         json.dump(

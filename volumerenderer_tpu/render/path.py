@@ -723,11 +723,7 @@ def render_frames(
     if config.max_path_segments > 1:
         import dataclasses
 
-        cfgF = dataclasses.replace(
-            config,
-            path_chunk=config.path_chunk * F,
-            path_compact_min=config.path_compact_min,
-        )
+        cfgF = dataclasses.replace(config, path_chunk=config.path_chunk * F)
         colorF = _scatter_segments(
             grid, params, cfgF, lut, S, light_local, flat(seeds), state,
             march_cell=march_cell,
