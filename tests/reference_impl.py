@@ -311,6 +311,10 @@ def render_path(grid, params, frame_count, W, H, max_segments=32,
     prob = F(params.scattering_probability)
     light_local = world_to_index(g, params.light_source_world_pos)
     i0 = F(params.photon_initial_intensity)
+    # path_compute_color.comp:86 — `photonIntensity > 0.01` is constant
+    # (PATH never attenuates it): intensity <= 0.01 renders black.
+    if not (i0 > F(0.01)):
+        return img
 
     def light_term(sample_local):
         ray_local = (light_local - sample_local).astype(F)

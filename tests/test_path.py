@@ -43,6 +43,24 @@ def test_path_matches_oracle_reference_fidelity(frame_count):
     np.testing.assert_allclose(frame, want, rtol=5e-3, atol=5e-5)
 
 
+def test_path_constant_intensity_gate():
+    """path_compute_color.comp:86 — photonIntensity never attenuates in
+    PATH, so intensity <= 0.01 means the reference walk never runs and the
+    frame is black; just above the gate it renders normally."""
+    g, params, config = make_scene()
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    dead = params.replace(photon_initial_intensity=jnp.float32(0.01))
+    frame = np.asarray(path.render_frame(g, dead, 2, config, steps))
+    assert np.all(frame == 0.0)
+    want = ref.render_path(g, dead, 2, config.width, config.height,
+                           max_segments=config.max_path_segments)
+    assert np.all(want == 0.0)
+    live = params.replace(photon_initial_intensity=jnp.float32(0.02))
+    frame2 = np.asarray(path.render_frame(g, live, 2, config, steps))
+    assert frame2.max() > 0.0
+
+
 @pytest.mark.slow
 def test_path_corrected_fidelity_runs_and_differs():
     g, params, config = make_scene(Fidelity.CORRECTED)

@@ -658,7 +658,12 @@ def render_frame(
         )
     else:
         color = state[0]
-    return jnp.clip(color[:n_rays], 0.0, 1.0).reshape(rows, W)
+    # The reference's walk condition `photonIntensity > 0.01`
+    # (path_compute_color.comp:86) is CONSTANT per frame — PATH never
+    # attenuates photonIntensity — so intensity <= 0.01 means the loop
+    # never runs and the frame is black.  Gate the whole frame identically.
+    live_frame = (params.photon_initial_intensity > 0.01).astype(jnp.float32)
+    return (live_frame * jnp.clip(color[:n_rays], 0.0, 1.0)).reshape(rows, W)
 
 
 def render_frames(
@@ -731,4 +736,6 @@ def render_frames(
     else:
         colorF = state[0]
     out = colorF.reshape(F, n_pad)[:, :n_rays]
-    return jnp.clip(out, 0.0, 1.0).reshape(F, rows, W)
+    # Same constant walk gate as render_frame (path_compute_color.comp:86).
+    live_frame = (params.photon_initial_intensity > 0.01).astype(jnp.float32)
+    return (live_frame * jnp.clip(out, 0.0, 1.0)).reshape(F, rows, W)
