@@ -11,6 +11,11 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/probe_vmem_gather2.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import time
 
 import jax
