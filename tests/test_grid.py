@@ -108,3 +108,60 @@ def test_transforms_never_lower_to_matmul():
         lambda r: camera.camera_rays(8, 8, 45.0, jnp.zeros(3), look_rotation=r)
     )(rot))
     assert "dot_general" not in jaxpr, jaxpr
+
+
+def test_occ_table_lookup_matches_take():
+    """The arithmetic bit-packed brick-table select (grid.dense.
+    _occ_table_lookup) is bit-identical to the scattered jnp.take it
+    replaces — single-word z, multi-word z (>32 z-bricks), and the
+    large-table fallback all agree."""
+    from volumerenderer_tpu.grid import dense as dense_mod
+
+    rs = np.random.RandomState(7)
+    for shape in [(12, 12, 12), (4, 4, 40), (3, 5, 70)]:
+        table = jnp.asarray(rs.rand(*shape) < 0.4)
+        X, Y, Z = shape
+        relb = jnp.asarray(
+            np.stack([rs.randint(0, X, 4096), rs.randint(0, Y, 4096),
+                      rs.randint(0, Z, 4096)], axis=-1), jnp.int32)
+        got = np.asarray(dense_mod._occ_table_lookup(table, relb))
+        lin = (relb[..., 0] * Y + relb[..., 1]) * Z + relb[..., 2]
+        want = np.asarray(jnp.take(table.reshape(-1), lin, mode="clip"))
+        np.testing.assert_array_equal(got, want)
+    # force the fallback path (terms above the bound) and check it too
+    old = dense_mod._OCC_SELECT_MAX_TERMS
+    try:
+        dense_mod._OCC_SELECT_MAX_TERMS = 1
+        table = jnp.asarray(rs.rand(6, 6, 6) < 0.3)
+        relb = jnp.asarray(
+            np.stack([rs.randint(0, 6, 512)] * 3, axis=-1), jnp.int32)
+        got = np.asarray(dense_mod._occ_table_lookup(table, relb))
+        lin = (relb[..., 0] * 6 + relb[..., 1]) * 6 + relb[..., 2]
+        want = np.asarray(jnp.take(table.reshape(-1), lin, mode="clip"))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        dense_mod._OCC_SELECT_MAX_TERMS = old
+
+
+def test_brick_occupancy_lookup_formulations_agree():
+    """brick_occupancy_at / _dilated_at give identical masks whether the
+    packed select or the take fallback runs (same grid, random probes,
+    including out-of-volume positions exercising the clamp+guard)."""
+    from volumerenderer_tpu.grid import dense as dense_mod
+
+    rs = np.random.RandomState(11)
+    vol = (rs.rand(20, 24, 28) < 0.2) * rs.rand(20, 24, 28)
+    g = from_dense(vol.astype(np.float32), voxel_size=1.0,
+                   translation=(0.0, 0.0, 0.0))
+    pos = jnp.asarray(rs.uniform(-10, 40, (8192, 3)), jnp.float32)
+    occ1 = np.asarray(g.brick_occupancy_at(pos))
+    dil1 = np.asarray(g.brick_occupancy_dilated_at(pos))
+    old = dense_mod._OCC_SELECT_MAX_TERMS
+    try:
+        dense_mod._OCC_SELECT_MAX_TERMS = 0  # force jnp.take everywhere
+        occ2 = np.asarray(g.brick_occupancy_at(pos))
+        dil2 = np.asarray(g.brick_occupancy_dilated_at(pos))
+    finally:
+        dense_mod._OCC_SELECT_MAX_TERMS = old
+    np.testing.assert_array_equal(occ1, occ2)
+    np.testing.assert_array_equal(dil1, dil2)

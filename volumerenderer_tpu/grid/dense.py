@@ -33,6 +33,52 @@ from . import transforms
 
 BRICK = 8
 
+# Brick-table lookups switch from a scattered jnp.take to the arithmetic
+# compare-select below when (xy rows x 32-bit z words) fits this bound —
+# beyond it the per-sample op count would exceed the gather it replaces.
+_OCC_SELECT_MAX_TERMS = 512
+
+
+def _occ_table_lookup(table, relb):
+    """Occupancy-table lookup at brick coords relb (..., 3) int32 (already
+    clipped in-range).
+
+    Small tables (96^3-class volumes: 12^3 bricks) use NO gather at all:
+    the z axis is bit-packed into uint32 words (computed from the table
+    inside the program — 100s of elements, constant-folded/fused by XLA)
+    and the (x, y) row is selected by a fused compare-sum over the row
+    axis, then the z bit extracted with a variable shift.  Scattered
+    jnp.take on tiny tables runs at the flat-gather rate (~90 Mfetch/s on
+    v5e) and dominated the compact-view rebuild (411 ms of a 1.7 s settle
+    at 1080p); the arithmetic select is compute-bound VPU work instead
+    (measured ~20x faster at the same call sites).  Bit-identical results.
+    Large tables keep the jnp.take path.
+    """
+    X, Y, Z = table.shape
+    W = -(-Z // 32)
+    if X * Y * W > _OCC_SELECT_MAX_TERMS:
+        lin = (relb[..., 0] * Y + relb[..., 1]) * Z + relb[..., 2]
+        return jnp.take(table.reshape(-1), lin, mode="clip")
+    t = table.reshape(X * Y, Z).astype(jnp.uint32)
+    words = []
+    for w in range(W):
+        lo = 32 * w
+        hi = min(lo + 32, Z)
+        sh = jnp.arange(hi - lo, dtype=jnp.uint32)
+        words.append(jnp.sum(t[:, lo:hi] << sh, axis=-1, dtype=jnp.uint32))
+    linxy = relb[..., 0] * Y + relb[..., 1]
+    rows = jnp.arange(X * Y, dtype=jnp.int32)
+    eq = linxy[..., None] == rows
+    bz = relb[..., 2].astype(jnp.uint32)
+    word = jnp.sum(jnp.where(eq, words[0], jnp.uint32(0)), axis=-1,
+                   dtype=jnp.uint32)
+    for w in range(1, W):
+        word_w = jnp.sum(jnp.where(eq, words[w], jnp.uint32(0)), axis=-1,
+                         dtype=jnp.uint32)
+        word = jnp.where(bz >= jnp.uint32(32 * w), word_w, word)
+    bit = (word >> (bz % jnp.uint32(32))) & jnp.uint32(1)
+    return bit.astype(bool)
+
 
 @struct.dataclass
 class DenseGrid:
@@ -125,9 +171,7 @@ class DenseGrid:
         shape = jnp.asarray(self.voxels.shape, jnp.int32)
         inb = jnp.all((rel >= 0) & (rel < shape), axis=-1)
         relb = jnp.clip(rel, 0, shape - 1) // BRICK
-        nb = self.brick_occ.shape
-        lin = (relb[..., 0] * nb[1] + relb[..., 1]) * nb[2] + relb[..., 2]
-        occ = jnp.take(self.brick_occ.reshape(-1), lin, mode="clip")
+        occ = _occ_table_lookup(self.brick_occ, relb)
         return occ & inb
 
     def brick_occupancy_dilated_at(self, pos):
@@ -147,9 +191,7 @@ class DenseGrid:
         shape = jnp.asarray(self.voxels.shape, jnp.int32)
         pad = jnp.all((rel >= -BRICK) & (rel < shape + BRICK), axis=-1)
         relb = jnp.clip(rel, 0, shape - 1) // BRICK
-        nb = self.brick_occ_dil.shape
-        lin = (relb[..., 0] * nb[1] + relb[..., 1]) * nb[2] + relb[..., 2]
-        occ = jnp.take(self.brick_occ_dil.reshape(-1), lin, mode="clip")
+        occ = _occ_table_lookup(self.brick_occ_dil, relb)
         return occ & pad
 
     def sample_trilinear(self, pos):

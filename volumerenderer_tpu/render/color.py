@@ -607,16 +607,22 @@ def build_compact_view_device(
         count via jnp.argsort — miss rays sink to the tail where the lane
         kernels' per-block sample bounds are 0 and whole blocks are
         skipped;
-      * every band uses the GLOBAL cap ``steps`` (>= any per-ray occupied
-        count by construction), so the view is EXACT by construction — no
-        probe/readback needed to guarantee it;
+      * each band marches at the smallest RUNG cap >= its own max occupied
+        count (a device scalar -> lax.switch over a static power-of-2
+        ladder; all-miss bands skip the march entirely), padded to the
+        full-cap plane width — EXACT by the same argument as a global cap
+        (rung >= every lane's occupied count), still zero readback;
       * bands are fixed ``band_lanes``-wide slices of the sorted order, so
-        a camera move re-runs the exact same compiled programs.
+        a camera move re-runs the exact same compiled programs (the rung
+        choice is a runtime branch, not a shape change).
 
     Cost vs the host build: plane memory covers all rays at the full cap
-    (n_rays x steps x 16 B; the engine budget-gates this mode), and the
-    march fetches at the full cap for every lane.  Under jit/shard_map this
-    is the multi-chip-safe build (parallel.sharding uses it per row band).
+    (n_rays x steps x 16 B; the engine budget-gates this mode); the march
+    fetch volume hugs the occupancy distribution (measured at 1080p/96^3:
+    band needs [88, 56, 8, 0] vs global cap 144 — settle rebuild 1.69 s ->
+    0.50 s together with the arithmetic brick-table select,
+    grid.dense._occ_table_lookup).  Under jit/shard_map this is the
+    multi-chip-safe build (parallel.sharding uses it per row band).
 
     Reference anchor: the same per-frame march as
     point_compute_color.comp:61-94, memoized and lane-compacted.
@@ -662,6 +668,33 @@ def build_compact_view_device(
         lane_live = jnp.pad(jnp.take(hit, ordr), (0, lanes_n - n_rays))
         src = jnp.where(lane_live, order_p, 0)
 
+    # Rung ladder for per-band march caps (occupancy order only): the
+    # sorted lane order makes band b's need = max(counts[band]) — a device
+    # scalar — so each band lax.switches into the march compiled at the
+    # smallest rung cap >= its need instead of always paying the global
+    # cap.  Static shapes per branch (planes padded to the full-cap width),
+    # EXACT by the same argument as the global cap (rung >= every lane's
+    # occupied count; padded samples have weight exactly 0).  Measured on
+    # the 1080p/96^3 settle: band needs [88, 56, 8, 0] vs global cap 144 —
+    # the march fetch volume drops ~3x.  Values match the global-cap build
+    # to ~1 ulp (cumprod tree association over the shorter axis, the
+    # PARITY.md #13/#14 class).
+    use_rungs = order == "occupancy" and (
+        config.interpolation == "nearest" and march_cell > 1
+    )
+    if use_rungs:
+        n_cells = -(-steps // march_cell)
+        ladder = []
+        k = 1
+        while k < n_cells:
+            ladder.append(k)
+            k *= 2
+        ladder.append(n_cells)
+        ladder_arr = jnp.asarray(ladder, jnp.int32)
+        counts_sorted = jnp.take(counts, jnp.clip(order_p, 0, n_rays - 1),
+                                 mode="clip")
+        counts_sorted = jnp.where(lane_live, counts_sorted, 0)
+
     bands = []
     start = 0
     while start < lanes_n:
@@ -670,10 +703,41 @@ def build_compact_view_device(
         live_b = jax.lax.dynamic_slice_in_dim(lane_live, start, size)
         o_b = jnp.take(o_i, idx_b, axis=0)
         d_b = jnp.take(d_i, idx_b, axis=0)
-        wx, wy, wz, w = build_view_rays(
-            grid, params, config, steps, o_b, d_b,
-            clip_box=clip_box, occupied_cap=steps, march_cell=march_cell,
-        )
+        if use_rungs:
+            bm_cells = -(-jnp.max(
+                jax.lax.dynamic_slice_in_dim(counts_sorted, start, size)
+            ) // march_cell)
+
+            def _march_at(kc):
+                def branch():
+                    p = build_view_rays(
+                        grid, params, config, steps, o_b, d_b,
+                        clip_box=clip_box, occupied_cap=kc * march_cell,
+                        march_cell=march_cell,
+                    )
+                    C_r = p[0].shape[1]
+                    padr = ladder[-1] * march_cell - C_r
+                    if padr:
+                        p = tuple(jnp.pad(a, ((0, 0), (0, padr))) for a in p)
+                    return p
+                return branch
+
+            C_full_b = ladder[-1] * march_cell
+            zeros = lambda: tuple(
+                jnp.zeros((size, C_full_b), jnp.float32) for _ in range(4)
+            )
+            br = jnp.where(
+                bm_cells == 0, 0,
+                1 + jnp.sum((ladder_arr < bm_cells).astype(jnp.int32)),
+            )
+            wx, wy, wz, w = jax.lax.switch(
+                br, [zeros] + [_march_at(kc) for kc in ladder]
+            )
+        else:
+            wx, wy, wz, w = build_view_rays(
+                grid, params, config, steps, o_b, d_b,
+                clip_box=clip_box, occupied_cap=steps, march_cell=march_cell,
+            )
         w = jnp.where(live_b[:, None], w, 0.0)
         C = wx.shape[1]
         padC = (-C) % 8
