@@ -187,14 +187,16 @@ class StaticConfig:
     # march length (render.path._walk_chunk).
     path_subblock: int = 32
     # Scatter-segment empty-space skipping (render.path._walk_chunk
-    # march_cell): 1 = full sample axis (default — scatter rays start
-    # INSIDE the cloud, so few cells skip and the per-ray top_k over the
-    # cell axis measured SLOWER than the skipped fetches on v5e at
-    # 256^2: 52.9 vs 44.4 ms/frame); 0 = auto-derive the largest exact
-    # cell (cell * step <= one 8-voxel brick pitch, as the camera view
-    # build does); >1 = that exact cell size (caller must keep
-    # cell * step <= brick pitch for exactness).
-    path_march_cell: int = 1
+    # march_cell): 0 (default) = auto-derive the largest exact cell
+    # (cell * step <= one 8-voxel brick pitch, as the camera view build
+    # does); 1 = full sample axis; >1 = that exact cell size (caller must
+    # keep cell * step <= brick pitch for exactness).  History: with the
+    # brick table read via scattered jnp.take this measured SLOWER than
+    # the skipped fetches (52.9 vs 44.4 ms/frame at 256^2 on v5e) and
+    # defaulted off; the arithmetic bit-packed table select
+    # (grid.dense._occ_table_lookup) flipped the trade — 40.3 vs 43.3
+    # ms/frame, identical checksums — so it now defaults on.
+    path_march_cell: int = 0
     # PATH shadow-probe LUT (render.path): the REFERENCE-fidelity light
     # term reads one voxel within ``step`` of the light, replaceable by a
     # (2R+1)^3 arithmetic-select LUT with R = ceil(step) — bit-exact, no

@@ -421,10 +421,11 @@ class Renderer:
         max_steps = self._max_steps
         if self.algorithm is Algorithm.PATH:
             lut_r = self._shadow_lut_radius()
-            # Scatter-segment empty-space skipping: off by default
-            # (StaticConfig.path_march_cell — measured slower on v5e);
-            # 0 = auto-derive the largest exact cell as the camera view
-            # build does (cell*step <= one 8-voxel brick pitch).
+            # Scatter-segment empty-space skipping: default 0 = auto-derive
+            # the largest exact cell as the camera view build does
+            # (cell*step <= one 8-voxel brick pitch).  On by default since
+            # the arithmetic brick-table select made the cell test cheaper
+            # than the fetches it skips (StaticConfig.path_march_cell).
             cell = self.config.path_march_cell
             if cell == 0:
                 cell = max(
