@@ -35,8 +35,12 @@ BRICK = 8
 
 # Brick-table lookups switch from a scattered jnp.take to the arithmetic
 # compare-select below when (xy rows x 32-bit z words) fits this bound —
-# beyond it the per-sample op count would exceed the gather it replaces.
-_OCC_SELECT_MAX_TERMS = 512
+# beyond it the per-sample op count exceeds the gather it replaces.
+# Measured on v5e at the 1080p counts-pass batch (39M lookups,
+# scripts/probe_occ_select.py): take is flat ~390 ms (fetch-count-bound);
+# select is 18.7 ms at 144 terms (96^3-class), 38.7 ms at 576 (192^3),
+# 578 ms at 4608 (384^3 — loses).  2048 keeps a ~1.6x margin at the bound.
+_OCC_SELECT_MAX_TERMS = 2048
 
 
 def _occ_table_lookup(table, relb):
