@@ -30,7 +30,8 @@ def make_scene(w=12, h=10):
     )
     config = StaticConfig(
         width=w, height=h, num_photons=16, light_capacity=32,
-        max_events_per_photon=8, max_points_per_segment=64, ray_tile=64)
+        max_events_per_photon=8, max_points_per_segment=64, ray_tile=64,
+        probe_tile=64, build_tile=64)
     return g, params, config
 
 
@@ -77,3 +78,29 @@ def test_zero_lights_black_frame():
         g, params, lights, Algorithm.POINT, config, steps))
     assert frame.shape == (config.height, config.width)
     assert frame.max() == 0.0
+
+
+def test_build_tile_invariance():
+    """occupancy counts and view-build planes are bit-identical across
+    probe_tile/build_tile choices (per-ray math with pinned rounding)."""
+    import dataclasses
+
+    g, params, config = make_scene(w=16, h=12)
+    steps = color.required_march_steps(g, float(params.ray_marching_step_size),
+                                       config.max_march_steps)
+    o_i, d_i = color.camera_rays_index(g, params, config, 0, None)
+    ref_counts = None
+    ref_planes = None
+    for tile in (16, 48, 192):
+        cfg = dataclasses.replace(config, probe_tile=tile, build_tile=tile)
+        counts = np.asarray(color.occupancy_counts_rays(
+            g, params, cfg, steps, o_i, d_i, march_cell=2))
+        planes = [np.asarray(p) for p in color.build_view_rays(
+            g, params, cfg, steps, o_i, d_i, occupied_cap=steps,
+            march_cell=2)]
+        if ref_counts is None:
+            ref_counts, ref_planes = counts, planes
+        else:
+            np.testing.assert_array_equal(counts, ref_counts)
+            for a, b in zip(planes, ref_planes):
+                np.testing.assert_array_equal(a, b)

@@ -14,6 +14,7 @@ from volumerenderer_tpu.render import color, photon
 def small_config(**kw):
     base = dict(width=12, height=8, light_capacity=32,
                 max_events_per_photon=8, ray_tile=32,
+                probe_tile=32, build_tile=32,
                 max_points_per_segment=16, max_path_segments=4)
     base.update(kw)
     return StaticConfig(**base)

@@ -22,6 +22,7 @@ def small_renderer(**kw):
     )
     config = StaticConfig(width=16, height=12, light_capacity=64,
                           max_events_per_photon=8, ray_tile=64,
+                          probe_tile=64, build_tile=64,
                           max_points_per_segment=32, max_path_segments=8)
     return Renderer(g, config, params, **kw)
 

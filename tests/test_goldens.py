@@ -26,6 +26,7 @@ def scene():
         scattering_probability=jnp.float32(0.15),
     )
     config = StaticConfig(width=64, height=64, ray_tile=4096,
+                          probe_tile=4096, build_tile=4096,
                           max_events_per_photon=32, light_capacity=512,
                           max_points_per_segment=128, max_path_segments=8)
     return g, params, config

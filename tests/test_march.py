@@ -99,6 +99,7 @@ def test_trilinear_march_option():
         ray_max_distance=jnp.float32(60.0))
     base = StaticConfig(width=16, height=12, light_capacity=64,
                         max_events_per_photon=8, ray_tile=64,
+                        probe_tile=64, build_tile=64,
                         max_points_per_segment=32)
     r_near = Renderer(g, base, params, algorithm=Algorithm.POINT)
     r_near.step()
@@ -157,6 +158,7 @@ def test_session_uses_occupied_clip():
         light_source_world_pos=jnp.float32([0.0, 0.0, 16.0]),
         scattering_probability=jnp.float32(0.5))
     cfg = StaticConfig(width=16, height=12, ray_tile=64, light_capacity=64,
+                       probe_tile=64, build_tile=64,
                        max_events_per_photon=8)
     r = Renderer(g, cfg, params, algorithm=Algorithm.POINT)
     r.step(2)

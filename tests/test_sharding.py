@@ -26,6 +26,7 @@ def scene():
     )
     config = StaticConfig(width=16, height=16, light_capacity=64,
                           max_events_per_photon=8, ray_tile=64,
+                          probe_tile=64, build_tile=64,
                           max_points_per_segment=32, max_path_segments=8)
     return g, params, config
 

@@ -204,6 +204,19 @@ class StaticConfig:
     # cap (0 disables; large radii would bloat the select chain).
     shadow_lut_max_radius: int = 2
     ray_tile: int = 16384  # rays processed per march tile (memory bound)
+    # View-build tiling (render.color).  lax.map iterations cost ~1.5 ms
+    # each on the remote-dispatch path, so the 2M-ray 1080p probe at
+    # ray_tile granularity paid ~190 ms of pure loop overhead (127 tiles
+    # for ~16 ms of work) — these paths get their own, larger tiles:
+    #   probe_tile — occupancy_counts_rays (tiny temporaries: positions +
+    #                one bool per cell endpoint; 256k rays ~= 63 MB);
+    #   build_tile — build_view_rays march tiles (plane + march
+    #                temporaries; 64k rays at a 144-cap ~= 0.5 GB peak).
+    # Results are bit-identical across tile sizes (per-ray math with
+    # pinned rounding); tests pin small values to keep multi-tile
+    # coverage on small scenes.
+    probe_tile: int = 262144
+    build_tile: int = 65536
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
 
     @property

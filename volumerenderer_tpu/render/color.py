@@ -477,7 +477,7 @@ def occupancy_counts_rays(
     once), so probe and build see bit-identical geometry and the
     cell-selection superset guarantee holds."""
     n_rays = o_i.shape[0]
-    tile = min(config.ray_tile, n_rays)
+    tile = min(config.probe_tile, n_rays)
     pad = (-n_rays) % tile
     if pad:
         o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
@@ -523,15 +523,6 @@ def build_view_rays(
     plane width hugs its own occupancy bound.  Returns (wx, wy, wz, w)
     planes of shape (N, C)."""
     n_rays = o_i.shape[0]
-    tile = min(config.ray_tile, n_rays)
-    pad = (-n_rays) % tile
-    if pad:
-        o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
-        d_i = jnp.concatenate(
-            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))],
-            axis=0,
-        )
-    n_tiles = (n_rays + pad) // tile
     cap = (
         occupied_cap
         if config.interpolation == "nearest" and march_cell > 1
@@ -545,6 +536,20 @@ def build_view_rays(
         S_eff = max_steps
     compact = bool(gather_samples) and gather_samples < S_eff
     C = gather_samples if compact else S_eff
+    # Tile rays per lax.map step: big tiles amortize the ~ms per-iteration
+    # loop overhead; the memory guard bounds the march temporaries
+    # (~40 B per (ray, sample)) for long-cap scenes (bunny-scale).
+    # Results are bit-identical across tile sizes (per-ray math only).
+    tile_mem_bound = max(1024, ((3 << 29) // max(S_eff * 40, 1)) // 1024 * 1024)
+    tile = min(config.build_tile, tile_mem_bound, n_rays)
+    pad = (-n_rays) % tile
+    if pad:
+        o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+        d_i = jnp.concatenate(
+            [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))],
+            axis=0,
+        )
+    n_tiles = (n_rays + pad) // tile
 
     def march_tile(inputs):
         o, d = inputs
