@@ -92,6 +92,8 @@ def main() -> None:
     run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
         1080, frames=8, segment_mode="analytic")
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
+    run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
+        frames=4, warmup=3)
 
     g384 = procedural.cloud(n=384)
     run("Point/VPL 1280x720 on 384^3 (57M voxels)", A.POINT, 1280, 720,

@@ -24,7 +24,13 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # dominated by recompiling large march/shade programs per parametrization;
 # with the cache, reruns compile-hit in milliseconds.  Safe across
 # processes (content-addressed); .gitignore'd.
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+# Tests get their OWN cache dir, separate from the TPU bench/scripts'
+# .jax_cache: the two share no entries (different platforms) and a test
+# run concurrent with a bench once corrupted a shared entry — jax
+# segfaults in compilation_cache.get_executable_and_time deserializing a
+# torn cache file, which would also kill the driver's bench run.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

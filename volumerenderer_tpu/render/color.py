@@ -538,10 +538,17 @@ def build_view_rays(
     C = gather_samples if compact else S_eff
     # Tile rays per lax.map step: big tiles amortize the ~ms per-iteration
     # loop overhead; the memory guard bounds the march temporaries
-    # (~40 B per (ray, sample)) for long-cap scenes (bunny-scale).
-    # Results are bit-identical across tile sizes (per-ray math only).
+    # (~40 B per (ray, sample)) for long-cap scenes.  Volumes with a deep
+    # z extent keep the conservative ray_tile: their z-row fetch carries a
+    # (tile, S_eff, nz) intermediate that XLA fused at the proven 16k tile
+    # but chose to MATERIALIZE at 64k on v5e (a 33.8 GB compile-time OOM
+    # on the bunny-scale scene, nz=440).  Results are bit-identical across
+    # tile sizes (per-ray math only).
     tile_mem_bound = max(1024, ((3 << 29) // max(S_eff * 40, 1)) // 1024 * 1024)
-    tile = min(config.build_tile, tile_mem_bound, n_rays)
+    if grid.voxels.shape[2] > 128:
+        tile = min(config.ray_tile, n_rays)
+    else:
+        tile = min(config.build_tile, tile_mem_bound, n_rays)
     pad = (-n_rays) % tile
     if pad:
         o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
