@@ -294,3 +294,29 @@ def test_motion_mode_truncated_then_settles_exact():
     r_off.set(camera_pos=[0.0, 1.0, -15.0])
     r_off.step(1)
     assert r_off._view is not v0  # exact rebuild even mid-"drag"
+
+
+def test_gather_eval_paired_matches_exact_render():
+    """config.gather_eval="paired" renders Point/Sphere frames equal to the
+    exact evaluation up to the documented reassociation tolerance (the
+    whole pipeline is otherwise identical — same lights, same view).
+
+    gather_impl is pinned to the interpret-mode Pallas kernel: the CPU
+    default ("auto" -> xla) ignores gather_eval, which would make this
+    test vacuous off-TPU."""
+    import dataclasses
+
+    for algo in (Algorithm.POINT, Algorithm.SPHERE):
+        r_exact = small_renderer(algorithm=algo)
+        r_fast = small_renderer(algorithm=algo)
+        r_exact.config = dataclasses.replace(r_exact.config,
+                                             gather_impl="vpu_interpret")
+        r_fast.config = dataclasses.replace(r_fast.config,
+                                            gather_impl="vpu_interpret",
+                                            gather_eval="paired")
+        r_exact.step(3)
+        r_fast.step(3)
+        a = np.asarray(r_exact.image())
+        b = np.asarray(r_fast.image())
+        assert np.all(np.isfinite(b))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-5)

@@ -359,3 +359,75 @@ def test_discrete_segment_kernel_paired_lanes_layout():
             paired=True)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_point_sphere_paired_matches_exact_slots():
+    """gather_eval="paired" for Point/Sphere (one divide per 4 lights,
+    rational combination with per-term numerators) agrees with the
+    bit-parity light loop to reassociation error.  count=25 is not a
+    multiple of 4, so the overrun lanes (n=0, q=1, clamped SMEM index)
+    are exercised; a sample placed exactly at a light exercises the
+    guard's exact-zero contribution."""
+    from volumerenderer_tpu.ops.gather import gather_planes
+
+    rs = np.random.RandomState(31)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    lpos = np.asarray((rs.randn(40, 3) * 8 + 15).astype(np.float32))
+    # Guard path: sample (0, 0) sits exactly on light 3.
+    lpos[3] = (float(px[0, 0]), float(py[0, 0]), float(pz[0, 0]))
+    lpos = jnp.asarray(lpos)
+    lint = jnp.asarray((rs.rand(40) * 20).astype(np.float32))
+    valid = jnp.arange(40) < 25
+    for sphere in (False, True):
+        exact = gather_planes(px, py, pz, w, lpos, lint, valid,
+                              sphere=sphere, radius=0.3,
+                              impl="vpu_interpret")
+        fast = gather_planes(px, py, pz, w, lpos, lint, valid,
+                             sphere=sphere, radius=0.3,
+                             impl="vpu_interpret", paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_point_sphere_paired_lanes_layout():
+    """Paired Point/Sphere in the lane-per-ray layout (the CompactView
+    headline path) agrees with the exact lanes kernel."""
+    from volumerenderer_tpu.ops.gather import gather_planes
+
+    rs = np.random.RandomState(32)
+    Cp, Rc = 16, 1024
+    px = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    lpos = jnp.asarray((rs.randn(10, 3) * 8 + 15).astype(np.float32))
+    lint = jnp.asarray((rs.rand(10) * 20).astype(np.float32))
+    valid = jnp.arange(10) < 7  # non-multiple-of-4 count
+    for sphere in (False, True):
+        exact = gather_planes(px, py, pz, w, lpos, lint, valid,
+                              sphere=sphere, radius=0.3,
+                              impl="vpu_interpret", layout="lanes")
+        fast = gather_planes(px, py, pz, w, lpos, lint, valid,
+                             sphere=sphere, radius=0.3,
+                             impl="vpu_interpret", layout="lanes",
+                             paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_point_paired_zero_lights():
+    """count == 0 under pairing: the group loop never runs -> exact zeros
+    (matches the exact kernel's empty light range)."""
+    from volumerenderer_tpu.ops.gather import gather_planes
+
+    px = jnp.ones((16, 8)); py = px; pz = px
+    w = jnp.ones((16, 8))
+    lpos = jnp.zeros((4, 3)); lint = jnp.zeros((4,))
+    valid = jnp.zeros((4,), bool)
+    out = gather_planes(px, py, pz, w, lpos, lint, valid,
+                        sphere=False, impl="vpu_interpret", paired=True)
+    assert float(jnp.abs(out).max()) == 0.0

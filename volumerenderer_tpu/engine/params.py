@@ -170,6 +170,15 @@ class StaticConfig:
     #              reassociation error <= 3e-5 (measured, PARITY.md) —
     #              the documented perf mode benchmark configs opt into.
     segment_eval: str = "exact"
+    # Point/Sphere light-loop arithmetic, same contract as segment_eval:
+    #   "exact"  — one guarded divide per (sample, light), the reference's
+    #              term order (the default; test-oracle evaluation).
+    #   "paired" — one divide per 4 lights via a rational combination with
+    #              per-term numerators (ops/pallas/gather_lanes
+    #              _point_kernel; guarded terms contribute exactly 0).
+    #              Reassociation-only deviation <= 3e-5 relative — the
+    #              perf mode benchmark configs opt into.
+    gather_eval: str = "exact"
     beam_quadrature_nodes: int = 16
     # PATH scatter segments below this many total rays skip the
     # compaction plumbing entirely (the fixed cost outweighs the gather

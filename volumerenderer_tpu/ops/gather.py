@@ -127,6 +127,7 @@ def gather_planes(
     center=None,
     layout: str = "slots",
     lane_need=None,
+    paired: bool = False,
 ):
     """Gather over SoA world-coordinate planes px/py/pz.
 
@@ -138,6 +139,9 @@ def gather_planes(
     ``sum_samples(w * sum_lights)`` reduced inside the kernel.
     Requires the valid light slots to form one contiguous range (true for
     photon lights, compacted segment expansions, and light-axis shards).
+    ``paired=True``: one divide per 4 lights in the VPU/lane kernels
+    (config.gather_eval="paired"; reassociation-only deviation <= 3e-5
+    relative) — ignored by the XLA oracle and the MXU large-L path.
     """
     from .pallas import gather_vpu as vpu_mod
 
@@ -178,14 +182,14 @@ def gather_planes(
         return lanes_mod.gather_lanes(
             px, py, pz, weight, l_pos, l_int, start, count,
             sphere=sphere, radius=radius, lane_need=lane_need,
-            interpret=interpret,
+            paired=paired, interpret=interpret,
         )
     # VPU kernel: (M, 128) planes, padded up to TILE_M block granularity.
     R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_vpu(
         pxm, pym, pzm, wm, block_active, l_pos, l_int, start, count,
-        sphere=sphere, radius=radius, interpret=interpret,
+        sphere=sphere, radius=radius, paired=paired, interpret=interpret,
     )
     return out[:M].reshape(R, C)
 

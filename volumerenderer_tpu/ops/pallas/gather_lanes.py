@@ -59,12 +59,70 @@ def _slab_loop(need_ref, px_ref, py_ref, pz_ref, w_ref, o_ref, body):
 
 def _point_kernel(meta_ref, rad_ref, lx_ref, ly_ref, lz_ref, li_ref,
                   need_ref, px_ref, py_ref, pz_ref, w_ref, o_ref,
-                  *, sphere: bool):
+                  *, sphere: bool, paired: bool):
+    """Point/VPL and Sphere/VSL light loop over lane planes.
+
+    ``paired=False`` is the bit-parity evaluation: one guarded divide per
+    (sample, light) pair, exactly the reference's term order
+    (common_functions.h:186-201 summed as in point_compute_color.comp:9-15).
+    ``paired=True`` computes the SAME light sum with one divide per 4
+    lights via a rational combination with per-term NUMERATORS
+    (lights have individual intensities, unlike the constant-``ii``
+    sub-light groups of _discrete_kernel):
+
+        n1/q1 + n2/q2 + n3/q3 + n4/q4
+          = ((n1 q2 + n2 q1) q34 + (n3 q4 + n4 q3) q12) / (q12 q34)
+
+    with guarded/overrun terms set to (n=0, q=1) — their contribution is
+    EXACTLY zero, so the only deviation from the exact path is the
+    reassociation of the divides (measured <= 3e-5 relative).  The f32
+    divide dominates the exact pair cost, so amortizing it is the same
+    ~1.5x lever the paired discrete eval gave Ray.  Range note: q products
+    stay finite for d^2 up to ~1e9 per term (q12*q34 <= ~1e36 < f32 max) —
+    orders of magnitude beyond the UI's coordinate range."""
     start = meta_ref[0]
     count = meta_ref[1]
     radius = rad_ref[0]
+    L = lx_ref.shape[0]
 
     def body(px, py, pz):
+        def nq(k, px, py, pz):
+            kc = jnp.minimum(k, L - 1)
+            dx = px - lx_ref[kc]
+            dy = py - ly_ref[kc]
+            dz = pz - lz_ref[kc]
+            d2 = dx * dx + dy * dy + dz * dz
+            if sphere:
+                dist = jnp.sqrt(d2)
+                dd = dist - radius
+                d2e = dd * dd
+                bad = (d2e < GUARD) | (dist == 0.0)
+            else:
+                d2e = d2
+                bad = d2e < GUARD
+            bad = bad | (k >= start + count)
+            return (
+                jnp.where(bad, 0.0, li_ref[kc]),
+                jnp.where(bad, 1.0, d2e),
+            )
+
+        if paired:
+            def group(g, acc):
+                k0 = start + g * 4
+                n1, q1 = nq(k0, px, py, pz)
+                n2, q2 = nq(k0 + 1, px, py, pz)
+                n3, q3 = nq(k0 + 2, px, py, pz)
+                n4, q4 = nq(k0 + 3, px, py, pz)
+                q12 = q1 * q2
+                q34 = q3 * q4
+                n12 = n1 * q2 + n2 * q1
+                n34 = n3 * q4 + n4 * q3
+                return acc + (n12 * q34 + n34 * q12) / (q12 * q34)
+
+            return jax.lax.fori_loop(
+                0, (count + 3) // 4, group, jnp.zeros_like(px)
+            )
+
         def light(k, acc):
             dx = px - lx_ref[k]
             dy = py - ly_ref[k]
@@ -249,10 +307,12 @@ def _prep(px, py, pz, wm, lane_need):
 
 def gather_lanes(px, py, pz, wm, l_pos, l_int, start, count,
                  *, sphere: bool, radius=0.0, lane_need=None,
+                 paired: bool = False,
                  interpret: bool = False):
     """Point/sphere gather over lane planes (Cp, Rc).  Returns (Rc,)
     per-ray WEIGHTED radiance sums (sum over samples of w * sum over
-    lights)."""
+    lights).  ``paired=True``: one divide per 4 lights (_point_kernel) —
+    reassociation-only deviation, <= 3e-5 relative."""
     Cp, Rc, block_need = _prep(px, py, pz, wm, lane_need)
     L = l_pos.shape[0]
     li = l_int * jnp.float32(1.0 / FOUR_PI)
@@ -269,7 +329,7 @@ def gather_lanes(px, py, pz, wm, l_pos, l_int, start, count,
         transcendentals=Cp * Rc * L if sphere else 0,
     )
     return _call(
-        functools.partial(_point_kernel, sphere=sphere),
+        functools.partial(_point_kernel, sphere=sphere, paired=paired),
         6, scalars, (px, py, pz, wm), block_need, Cp, Rc, interpret, cost,
     )
 

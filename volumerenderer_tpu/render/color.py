@@ -868,6 +868,7 @@ def _radiance_planes(grid, wx, wy, wz, weight, params, lights, algorithm,
         sphere=sphere, radius=params.beam_radius,
         impl=config.gather_impl, center=center, layout=layout,
         lane_need=lane_need,
+        paired=config.gather_eval == "paired",
     )
 
 

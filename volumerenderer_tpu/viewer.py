@@ -64,8 +64,25 @@ class InteractiveViewer:
         ("light_ray_step_size", 0.01, 10.0, "f"),
     ]
 
-    def __init__(self, renderer: Renderer):
+    def __init__(self, renderer: Renderer, motion_mode: str = "truncated"):
+        # The interactive window is the one place a camera DRAG exists, so
+        # it defaults to the truncated motion path: while camera/march
+        # parameters change between consecutive frames, each frame renders
+        # through one small already-compiled program (~10x the exact
+        # per-frame rebuild rate at 1080p) and the first settled frame
+        # rebuilds exactly (StaticConfig.motion_mode docs; the library
+        # Renderer default stays "off" — every frame exact — for headless
+        # and parity use).  Pass motion_mode=None to leave the renderer's
+        # configuration untouched.
+        import dataclasses
+
         self.renderer = renderer
+        if motion_mode is not None and (
+            renderer.config.motion_mode != motion_mode
+        ):
+            renderer.config = dataclasses.replace(
+                renderer.config, motion_mode=motion_mode
+            )
         self._build_ui()
 
     def _build_ui(self):
