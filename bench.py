@@ -6,7 +6,10 @@ procedural cloud at 1080p with the reference's default scene parameters
 shading of the baked transmittance march + accumulation.  The headline is
 the steady state of an interactive session with a static camera; the march
 cache is EXACT (the device-side compact build keeps every sample by
-construction — ``Renderer.view_exact`` asserted).
+construction — ``Renderer.view_exact`` asserted), and the light loop runs
+in the disclosed fast mode (``gather_eval="paired"``: one divide per 4
+lights, reassociation-only deviation <= 3e-5 relative; the package default
+is the bit-parity exact loop, measured alongside in bench_matrix.json).
 
 Delivery structure (the round-2 bench timed out in the driver, VERDICT r2
 missing #1 — root cause is the environment, not compiles):
@@ -74,7 +77,10 @@ def main() -> None:
         camera_pos=np.float32([0.0, 20.0, -75.0]),
         light_source_world_pos=np.float32([0.0, 20.0, 20.0]),
     )
-    config = StaticConfig(width=width, height=height)
+    # gather_eval="paired" is the documented fast mode (one divide per 4
+    # lights; reassociation-only deviation <= 3e-5 relative — the package
+    # default stays the bit-parity "exact" loop).  Disclosed in the JSON.
+    config = StaticConfig(width=width, height=height, gather_eval="paired")
     r = Renderer(grid, config, params, algorithm=Algorithm.POINT)
     note("renderer ready; warmup (view build + batched-step compile)...")
 
@@ -101,6 +107,7 @@ def main() -> None:
                 "vs_baseline": round(mrays / 50.0, 3),
                 "ms_per_frame": round(dt / frames * 1e3, 2),
                 "view_cache_exact": bool(r.view_exact),
+                "gather_eval": config.gather_eval,
                 "terminal_claim_s": round(claim_s, 1),
                 "accum_checksum": round(checksum, 1),
                 "backend": jax.default_backend(),

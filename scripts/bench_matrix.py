@@ -78,9 +78,16 @@ def main() -> None:
         del r
 
     A = Algorithm
-    run("Point/VPL 1920x1080 (headline)", A.POINT, 1920, 1080)
-    run("Point/VPL 1280x720", A.POINT, 1280, 720)
-    run("Sphere/VSL 1280x720", A.SPHERE, 1280, 720)
+    run("Point/VPL 1920x1080 gather paired (headline, fast mode)", A.POINT,
+        1920, 1080, gather_eval="paired")
+    run("Point/VPL 1920x1080 gather exact (bit-parity, default)", A.POINT,
+        1920, 1080)
+    run("Point/VPL 1280x720 gather paired", A.POINT, 1280, 720,
+        gather_eval="paired")
+    run("Sphere/VSL 1280x720 gather paired (fast mode)", A.SPHERE, 1280,
+        720, gather_eval="paired")
+    run("Sphere/VSL 1280x720 gather exact (bit-parity, default)", A.SPHERE,
+        1280, 720)
     run("Ray/VRL 1920x1080 discrete paired (fast mode)", A.RAY, 1920, 1080,
         frames=16, segment_eval="paired")
     run("Ray/VRL 1920x1080 discrete exact (bit-parity, default)", A.RAY,
@@ -91,6 +98,9 @@ def main() -> None:
         1080, frames=8, segment_eval="paired")
     run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
         1080, frames=8, segment_mode="analytic")
+    run("Beam/VBL 1920x1080 analytic paired (16-node, fast mode)", A.BEAM,
+        1920, 1080, frames=8, segment_mode="analytic",
+        segment_eval="paired")
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
     run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
         frames=4, warmup=3)
@@ -162,11 +172,13 @@ def main() -> None:
     from volumerenderer_tpu.parallel.sharding import MeshRenderer
 
     mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
-    mr = MeshRenderer(g96, mesh, StaticConfig(width=1920, height=1080),
+    mr = MeshRenderer(g96, mesh,
+                      StaticConfig(width=1920, height=1080,
+                                   gather_eval="paired"),
                       params, A.POINT)
     mrays, spf = measure(mr, 32, 8)  # throwaway (deferred lazy work)
     mrays, spf = measure(mr, 32, 0)
-    label = "Point/VPL 1080p MeshRenderer (1-device TPU mesh)"
+    label = "Point/VPL 1080p MeshRenderer paired (1-device TPU mesh)"
     rows.append((label, spf * 1e3, mrays))
     print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s", flush=True)
     note(f"done: {label}")

@@ -431,3 +431,47 @@ def test_point_paired_zero_lights():
     out = gather_planes(px, py, pz, w, lpos, lint, valid,
                         sphere=False, impl="vpu_interpret", paired=True)
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_beam_quadrature_paired_matches_exact():
+    """Paired node evaluation of the VBL quadrature (one divide per 4
+    nodes) agrees with the per-node divide to reassociation error in both
+    layouts, including a non-multiple-of-4 node count (static padding
+    terms are exactly zero)."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(33)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    for nodes in (16, 7):
+        exact = gather_segments(
+            px, py, pz, w, pos_from, pos_to, inten, valid,
+            sphere_radius=0.25, quad_nodes=nodes, impl="vpu_interpret")
+        fast = gather_segments(
+            px, py, pz, w, pos_from, pos_to, inten, valid,
+            sphere_radius=0.25, quad_nodes=nodes, impl="vpu_interpret",
+            paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-6)
+
+    Cp, Rc = 16, 1024
+    pxl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pyl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pzl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    wl = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    exact = gather_segments(
+        pxl, pyl, pzl, wl, pos_from, pos_to, inten, valid,
+        sphere_radius=0.25, impl="vpu_interpret", layout="lanes")
+    fast = gather_segments(
+        pxl, pyl, pzl, wl, pos_from, pos_to, inten, valid,
+        sphere_radius=0.25, impl="vpu_interpret", layout="lanes",
+        paired=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-4, atol=1e-5)

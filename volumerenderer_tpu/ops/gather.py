@@ -350,13 +350,18 @@ def gather_segments(
     px, py, pz, weight, pos_from, pos_to, intensity, valid,
     *, impl: str = "auto", sphere_radius=None, quad_nodes: int = 16,
     layout: str = "slots", lane_need=None,
+    paired: bool = False,
 ):
     """Analytic (VRL) / quadrature (VBL) segment gather over SoA planes.
 
     ``sphere_radius=None`` -> closed-form point-sub-light line integral;
     otherwise the ``quad_nodes``-point sphere-light quadrature.
     ``layout`` as in gather_planes: "slots" -> (R, C) weighted radiance
-    (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums."""
+    (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums.
+    ``paired=True``: one divide per 4 quadrature nodes in the VBL kernels
+    (segment_eval="paired"; reassociation-only deviation on an
+    already-approximate mode) — no effect on the closed-form VRL or the
+    XLA oracle."""
     from .pallas import gather_vpu as vpu_mod
 
     interpret = impl.endswith("_interpret")
@@ -386,13 +391,13 @@ def gather_segments(
         return lanes_mod.gather_segments_analytic_lanes(
             px, py, pz, weight, pos_from, pos_to, intensity, valid,
             sphere_radius=sphere_radius, quad_nodes=quad_nodes,
-            lane_need=lane_need, interpret=interpret,
+            lane_need=lane_need, paired=paired, interpret=interpret,
         )
     R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_analytic(
         pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
-        sphere_radius=sphere_radius, quad_nodes=quad_nodes,
+        sphere_radius=sphere_radius, quad_nodes=quad_nodes, paired=paired,
         interpret=interpret,
     )
     return out[:M].reshape(R, C)

@@ -134,7 +134,7 @@ def _atan(x):
 def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
                            ux_ref, uy_ref, uz_ref, ll_ref, ii_ref,
                            active_ref, px_ref, py_ref, pz_ref, w_ref, o_ref,
-                           *, nodes: int):
+                           *, nodes: int, paired: bool = False):
     """Quadrature VBL: midpoint rule over each segment's sphere-light
     integrand 1/(4 pi (d(s) - r)^2) with a FIXED node count, instead of the
     reference's len/lightRayStepSize sub-lights (beam_compute_color.comp:
@@ -142,6 +142,10 @@ def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
     integral; ``nodes`` trades accuracy for speed (default 16 ~ 8-30x fewer
     terms).  d^2(s) = s^2 - 2 b s + c is evaluated per node from the
     per-segment (b, c) — 2 ops — so each node costs ~7 VPU ops.
+
+    ``paired=True``: one divide per 4 nodes via the rational combination of
+    gather_lanes._point_kernel (guarded nodes (n=0, q=1) contribute exactly
+    zero) — reassociation-only deviation on an already-approximate mode.
 
     Segment columns as 1-D SMEM arrays: ax, ay, az, ux, uy, uz, L,
     I/(4 pi L).
@@ -173,15 +177,43 @@ def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
             dz = pz - az
             b = dx * ux + dy * uy + dz * uz
             c = dx * dx + dy * dy + dz * dz
-            total = jnp.zeros_like(acc)
-            for j in range(nodes):
+
+            def node_d2e_bad(j):
                 s = (j + 0.5) / nodes * ll
                 d2 = jnp.maximum(c - 2.0 * b * s + s * s, 0.0)
                 d = jnp.sqrt(d2)
                 dd = d - radius
                 d2e = dd * dd
                 bad = (d2e < GUARD) | (d == 0.0)
-                total += jnp.where(bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD))
+                return d2e, bad
+
+            total = jnp.zeros_like(acc)
+            if paired:
+                def node_nq(j):
+                    if j >= nodes:
+                        return jnp.float32(0.0), jnp.float32(1.0)
+                    d2e, bad = node_d2e_bad(j)
+                    return (
+                        jnp.where(bad, 0.0, 1.0),
+                        jnp.where(bad, 1.0, d2e),
+                    )
+
+                for j0 in range(0, nodes, 4):
+                    (n1, q1), (n2, q2), (n3, q3), (n4, q4) = (
+                        node_nq(j0), node_nq(j0 + 1),
+                        node_nq(j0 + 2), node_nq(j0 + 3),
+                    )
+                    q12 = q1 * q2
+                    q34 = q3 * q4
+                    n12 = n1 * q2 + n2 * q1
+                    n34 = n3 * q4 + n4 * q3
+                    total += (n12 * q34 + n34 * q12) / (q12 * q34)
+            else:
+                for j in range(nodes):
+                    d2e, bad = node_d2e_bad(j)
+                    total += jnp.where(
+                        bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD)
+                    )
             return acc + ii * (ll / nodes) * total
 
         o_ref[:] = w_ref[:] * jax.lax.fori_loop(
@@ -502,6 +534,7 @@ def gather_segments_analytic(
     *,
     sphere_radius: float | None = None,
     quad_nodes: int = 16,
+    paired: bool = False,
     interpret: bool = False,
 ):
     """Analytic/quadrature segment gather over raw segments (no expansion).
@@ -553,7 +586,8 @@ def gather_segments_analytic(
             ),
         )(meta, *cols, block_active, px, py, pz, wm)
     return pl.pallas_call(
-        functools.partial(_segment_sphere_kernel, nodes=quad_nodes),
+        functools.partial(_segment_sphere_kernel, nodes=quad_nodes,
+                          paired=paired),
         grid=grid,
         in_specs=[smem()] * 11 + [spec()] * 4,
         out_specs=spec(),

@@ -837,6 +837,7 @@ def _radiance_planes(grid, wx, wy, wz, weight, params, lights, algorithm,
             ),
             quad_nodes=config.beam_quadrature_nodes,
             layout=layout, lane_need=lane_need,
+            paired=config.segment_eval == "paired",
         )
     if (
         algorithm in (Algorithm.RAY, Algorithm.BEAM)
