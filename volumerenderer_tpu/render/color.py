@@ -59,6 +59,24 @@ def required_march_steps(grid: DenseGrid, step_size: float, cap: int) -> int:
     return max(1, min(cap, int(math.ceil(diag / float(step_size))) + 2))
 
 
+def _zrow_tile_cap(grid: DenseGrid, s_eff: int, tile: int) -> int:
+    """Cap a march tile so the z-row fetch table stays within budget.
+
+    ``grid.dense.sample_ijk`` fetches deep volumes by whole-z-row gather +
+    one-hot select; XLA fuses the (tile * s_eff, nz) row table at nz <= 128
+    (proven at the 64k headline build tile) but MATERIALIZES it for deeper
+    volumes — measured 33.8 GB at a 64k tile (bunny scale, nz=440) and
+    13.1 GB even at the 16k tile inside the device build's rung switch
+    (nz=312, s_eff=560: the round-3 gallery OOM).  Tile sizes do not
+    affect results (per-ray math only); nz > 512 uses the flat gather
+    (no row table), bounded fine by the ~40 B/sample march temporaries."""
+    nz = grid.voxels.shape[2]
+    if nz <= 128 or nz > 512:
+        return tile
+    bound = max(256, ((3 << 29) // max(s_eff * nz * 4, 1)) // 256 * 256)
+    return min(tile, bound)
+
+
 def _expanded_lights(lights: LightArray, params, algorithm, config):
     """Per-frame light preprocessing: flat (pos, intensity, valid) arrays.
 
@@ -252,14 +270,6 @@ def build_view(
     d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
 
     n_rays = rows * W
-    tile = min(config.ray_tile, n_rays)
-    pad = (-n_rays) % tile
-    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
-    # Pad with unit +z rays; their results are sliced off by consumers.
-    d_i = jnp.concatenate(
-        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
-    )
-    n_tiles = (n_rays + pad) // tile
     cap = (
         occupied_cap
         if config.interpolation == "nearest" and march_cell > 1
@@ -274,6 +284,14 @@ def build_view(
         S_eff = max_steps
     compact = bool(gather_samples) and gather_samples < S_eff
     C = gather_samples if compact else S_eff
+    tile = _zrow_tile_cap(grid, S_eff, min(config.ray_tile, n_rays))
+    pad = (-n_rays) % tile
+    o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
+    # Pad with unit +z rays; their results are sliced off by consumers.
+    d_i = jnp.concatenate(
+        [d_i, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+    )
+    n_tiles = (n_rays + pad) // tile
 
     def march_tile(inputs):
         o, d = inputs
@@ -360,7 +378,7 @@ def probe_view(
     d_i = grid.world_to_index_dir(d_w.reshape(-1, 3))
     d_i = d_i / jnp.linalg.norm(d_i, axis=-1, keepdims=True)
     n_rays = rows * W
-    tile = min(config.ray_tile, n_rays)
+    tile = _zrow_tile_cap(grid, max_steps, min(config.ray_tile, n_rays))
     pad = (-n_rays) % tile
     o_i = jnp.pad(o_i, ((0, pad), (0, 0)))
     d_i = jnp.concatenate(
@@ -539,14 +557,17 @@ def build_view_rays(
     # Tile rays per lax.map step: big tiles amortize the ~ms per-iteration
     # loop overhead; the memory guard bounds the march temporaries
     # (~40 B per (ray, sample)) for long-cap scenes.  Volumes with a deep
-    # z extent keep the conservative ray_tile: their z-row fetch carries a
-    # (tile, S_eff, nz) intermediate that XLA fused at the proven 16k tile
-    # but chose to MATERIALIZE at 64k on v5e (a 33.8 GB compile-time OOM
-    # on the bunny-scale scene, nz=440).  Results are bit-identical across
-    # tile sizes (per-ray math only).
+    # z extent (nz > 128) must ALSO budget the z-row fetch table: the
+    # (tile * S_eff, nz) row gather (grid.dense.sample_ijk) is fused by
+    # XLA at nz <= 128 (proven at the 64k headline build tile) but
+    # MATERIALIZED for deeper volumes — measured 33.8 GB at the 64k tile
+    # on the bunny-scale scene (nz=440), and 13.1 GB even at the 16k tile
+    # inside the device build's rung switch (nz=312, S_eff=560: the
+    # round-3 gallery OOM).  Results are bit-identical across tile sizes
+    # (per-ray math only).
     tile_mem_bound = max(1024, ((3 << 29) // max(S_eff * 40, 1)) // 1024 * 1024)
     if grid.voxels.shape[2] > 128:
-        tile = min(config.ray_tile, n_rays)
+        tile = _zrow_tile_cap(grid, S_eff, min(config.ray_tile, n_rays))
     else:
         tile = min(config.build_tile, tile_mem_bound, n_rays)
     pad = (-n_rays) % tile
