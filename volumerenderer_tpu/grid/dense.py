@@ -223,6 +223,27 @@ class DenseGrid:
         return acc
 
 
+def zrow_tile_cap(grid: DenseGrid, s_eff: int, tile: int) -> int:
+    """Cap a march tile so ``sample_ijk``'s z-row fetch table stays bounded.
+
+    Deep volumes are fetched by whole-z-row gather + one-hot select
+    (``sample_ijk``); XLA fuses the (tile * s_eff, nz) row table at
+    nz <= 128 (proven at the 64k headline build tile) but MATERIALIZES it
+    for deeper volumes — measured 33.8 GB at a 64k tile (bunny scale,
+    nz=440), 13.1 GB at the 16k tile inside the device build's rung switch
+    and 14.5 GB in the PATH camera-segment bake (nz=312: the round-3
+    gallery OOMs).  Callers marching ``s_eff`` volume fetches per ray
+    through a ray-tiled ``lax.map`` must cap their tile with this bound.
+    Tile sizes do not affect results (per-ray math only); nz > 512 uses
+    the flat gather (no row table), bounded fine by the ~40 B/sample
+    march temporaries."""
+    nz = grid.voxels.shape[2]
+    if nz <= 128 or nz > 512:
+        return tile
+    bound = max(256, ((3 << 29) // max(s_eff * nz * 4, 1)) // 256 * 256)
+    return min(tile, bound)
+
+
 def occupied_bbox(grid: DenseGrid) -> tuple[np.ndarray, np.ndarray] | None:
     """Index-space AABB of the OCCUPIED bricks (host-side, concrete).
 

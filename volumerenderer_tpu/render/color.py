@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..engine.params import Algorithm, RenderParams, StaticConfig
-from ..grid.dense import DenseGrid
+from ..grid.dense import DenseGrid, zrow_tile_cap as _zrow_tile_cap
 from ..ops import camera, gather as gather_ops, lights as lights_ops, march as march_ops
 from .photon import LightArray
 
@@ -57,24 +57,6 @@ def required_march_steps(grid: DenseGrid, step_size: float, cap: int) -> int:
 
     diag = math.sqrt(sum(float(s) ** 2 for s in grid.voxels.shape))
     return max(1, min(cap, int(math.ceil(diag / float(step_size))) + 2))
-
-
-def _zrow_tile_cap(grid: DenseGrid, s_eff: int, tile: int) -> int:
-    """Cap a march tile so the z-row fetch table stays within budget.
-
-    ``grid.dense.sample_ijk`` fetches deep volumes by whole-z-row gather +
-    one-hot select; XLA fuses the (tile * s_eff, nz) row table at nz <= 128
-    (proven at the 64k headline build tile) but MATERIALIZES it for deeper
-    volumes — measured 33.8 GB at a 64k tile (bunny scale, nz=440) and
-    13.1 GB even at the 16k tile inside the device build's rung switch
-    (nz=312, s_eff=560: the round-3 gallery OOM).  Tile sizes do not
-    affect results (per-ray math only); nz > 512 uses the flat gather
-    (no row table), bounded fine by the ~40 B/sample march temporaries."""
-    nz = grid.voxels.shape[2]
-    if nz <= 128 or nz > 512:
-        return tile
-    bound = max(256, ((3 << 29) // max(s_eff * nz * 4, 1)) // 256 * 256)
-    return min(tile, bound)
 
 
 def _expanded_lights(lights: LightArray, params, algorithm, config):

@@ -62,7 +62,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine.params import Fidelity, RenderParams, StaticConfig
-from ..grid.dense import DenseGrid
+from ..grid.dense import DenseGrid, zrow_tile_cap as _zrow_tile_cap
 from ..ops import camera, intersect, rng
 from ..ops.march import ENTRY_EPS, ray_positions, t_grid
 from ..ops.scan import cumsum_1d
@@ -555,7 +555,9 @@ def bake_path_view(
     """
     S = max_steps
     o_i, d_i, rows = _camera_setup(grid, params, config, row_start, num_rows)
-    tile = min(config.ray_tile, rows * config.width)
+    # _seg1_planes fetches the volume at S samples/ray: deep-z volumes
+    # must budget the z-row gather table (grid.dense.zrow_tile_cap).
+    tile = _zrow_tile_cap(grid, S, min(config.ray_tile, rows * config.width))
     o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
     lut = _make_lut(grid, params, config, shadow_lut_radius)
     m = n_pad // tile
@@ -611,7 +613,8 @@ def render_frame(
 
     if cache is None:
         o_i, d_i, rows = _camera_setup(grid, params, config, row_start, num_rows)
-        tile = min(config.ray_tile, n_rays)
+        # tile_seg1 marches the volume at S samples/ray (z-row budget).
+        tile = _zrow_tile_cap(grid, S, min(config.ray_tile, n_rays))
         o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
         seeds = _seeds(W, rows, row_start, frame_count, n_pad)
         m = n_pad // tile
@@ -635,7 +638,7 @@ def render_frame(
                  sd2.reshape(n_pad), tmax.reshape(n_pad), al2.reshape(n_pad))
     else:
         n_pad = cache.o_i.shape[0]
-        tile = min(config.ray_tile, n_pad)
+        tile = _chunk_for(n_pad, config.ray_tile)  # divisor of the bake pad
         seeds = _seeds(W, rows, row_start, frame_count, n_pad)
         m = n_pad // tile
         r3 = lambda a: a.reshape(m, tile, 3)
@@ -700,7 +703,7 @@ def render_frames(
     light_local = grid.world_to_index(params.light_source_world_pos)
 
     n_pad = cache.o_i.shape[0]
-    tile = min(config.ray_tile, n_pad)
+    tile = _chunk_for(n_pad, config.ray_tile)  # divisor of the bake pad
     m = n_pad // tile
     r3 = lambda a: a.reshape(m, tile, 3)
     r1 = lambda a: a.reshape(m, tile)
