@@ -18,8 +18,11 @@ $(NATIVE)/libvdbio.so: $(NATIVE)/vdbio.cpp $(NATIVE)/vdb_read.cpp $(NATIVE)/vdb_
 
 # Fast default subset: skips the @pytest.mark.slow parametrizations whose
 # cold XLA compiles dominate the wall clock.  Both targets share the
-# persistent compilation cache (.jax_cache, set up by tests/conftest.py),
-# so repeat runs of either are several times faster than cold.
+# persistent compilation cache (.jax_cache_cpu, set up by
+# tests/conftest.py), so repeat runs of either are several times faster
+# than cold.  conftest also unloads compiled executables per test module
+# — XLA:CPU otherwise exhausts vm.max_map_count over a full run and
+# segfaults (see the postmortem in tests/conftest.py).
 test: native
 	python -m pytest tests/ -q -m "not slow"
 

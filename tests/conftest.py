@@ -22,15 +22,33 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compilation cache (VERDICT r2 weak #5): the suite's cost is
 # dominated by recompiling large march/shade programs per parametrization;
-# with the cache, reruns compile-hit in milliseconds.  Safe across
-# processes (content-addressed); .gitignore'd.
-# Tests get their OWN cache dir, separate from the TPU bench/scripts'
-# .jax_cache: the two share no entries (different platforms) and a test
-# run concurrent with a bench once corrupted a shared entry — jax
-# segfaults in compilation_cache.get_executable_and_time deserializing a
-# torn cache file, which would also kill the driver's bench run.
+# with the cache, reruns compile-hit in milliseconds.  Tests get their OWN
+# cache dir, separate from the TPU bench/scripts' .jax_cache (different
+# platforms share no entries).
 _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
                           ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Unload compiled executables between test modules.  XLA:CPU keeps ~1k
+# memory mappings live per batch of loaded executables and the full suite
+# reproducibly SEGFAULTED at vm.max_map_count: the pytest process died at
+# 65,493 maps against the default 65,530 limit (measured by sampling
+# /proc/<pid>/maps during the run), always inside whichever XLA
+# compile/deserialize crossed the limit — test_path's big lax.map-of-scan
+# program in practice, cache or no cache, never standalone.  Dropping the
+# jit caches per module releases the mappings (sawtooth instead of
+# monotonic growth); cross-module recompiles are absorbed by the
+# persistent cache above.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _unload_compiled_executables_per_module():
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

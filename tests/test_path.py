@@ -10,26 +10,6 @@ from volumerenderer_tpu.grid import from_dense
 from volumerenderer_tpu.render import color, path
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache():
-    """Compile this module's programs fresh — never read the persistent
-    compilation cache.
-
-    Deserializing this module's cached lax.map-of-scan executables
-    segfaults the CPU backend once ~65 other tests have run in the same
-    process (jaxlib 0.9.0: crash inside backend.deserialize_executable,
-    compilation_cache.py:238; 100% reproducible in the full suite, never
-    standalone, independent of which run wrote the entry).  Root cause is
-    in jaxlib, not this repo; skipping cache READS for the module avoids
-    the deserialization path entirely at ~2 min of extra compile time."""
-    import jax
-
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
-
-
 def make_scene(fidelity=Fidelity.REFERENCE):
     rs = np.random.RandomState(14)
     vals = (rs.rand(14, 14, 14) < 0.5) * (rs.rand(14, 14, 14) * 0.9 + 0.1)
