@@ -105,6 +105,39 @@ def test_compact_matches_plain_off_unit_voxels(voxel_size):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_deep_z_volume_compact_matches_plain():
+    """nz > 128 routes density fetches through the z-row gather whose
+    (tile * S_eff, nz) table XLA materializes — the regime where the
+    round-3 gallery OOM'd (grid.dense.zrow_tile_cap).  Exercise the capped
+    build end-to-end at CI scale: anisotropic volume, deep z axis."""
+    from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
+    from volumerenderer_tpu.grid.dense import from_dense
+
+    nx, ny, nz = 24, 24, 160
+    ax = lambda n: (np.arange(n) + 0.5) / n - 0.5
+    x, y, z = np.meshgrid(ax(nx), ax(ny), ax(nz), indexing="ij")
+    r = np.sqrt(x * x + y * y + (z * z) * 4.0)
+    d = np.exp(-np.abs(r - 0.3) * 20.0) * (np.abs(r - 0.3) < 0.1)
+    d = np.where(d < 0.05, 0.0, d).astype(np.float32)
+    g = from_dense(d, translation=(-12.0, 8.0, -60.0))
+    params = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 20.0, -140.0]),
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+        scattering_probability=jnp.float32(0.15),
+    )
+    config = StaticConfig(width=32, height=32, ray_tile=1024,
+                          probe_tile=1024, build_tile=1024,
+                          max_events_per_photon=32, light_capacity=512)
+    r1 = Renderer(g, config, params, algorithm=Algorithm.POINT)
+    r1.step(2)
+    r2 = Renderer(g, config, params, algorithm=Algorithm.POINT)
+    r2.use_view_cache = False
+    r2.step(2)
+    a, b = np.asarray(r1.state.accum), np.asarray(r2.state.accum)
+    assert b.max() > 0, "plain render is black — scene setup broken"
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
 def test_path_cell_skipping_exact_off_unit_voxels():
     """PATH's occupied-cell scatter march must reproduce the plain walk
     exactly (same RNG draw ranks, same contributions) on an off-unit grid."""
