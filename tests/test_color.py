@@ -104,3 +104,33 @@ def test_build_tile_invariance():
             np.testing.assert_array_equal(counts, ref_counts)
             for a, b in zip(planes, ref_planes):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_beam_analytic_tangent_config_plumbing():
+    """segment_mode="analytic" + beam_quadrature_rule="tangent" renders a
+    BEAM frame that agrees with a high-node midpoint render of the same
+    integral (both approximate the h->0 limit of the discrete sum), and
+    the discrete frame sits nearby — covers the StaticConfig ->
+    render/color.py -> ops/gather quad_rule plumbing end-to-end."""
+    g, params, config = make_scene()
+    steps = color.required_march_steps(
+        g, float(params.ray_marching_step_size), config.max_march_steps)
+    lights = photon.generate_lights(g, params, 1, config, max_steps=steps)
+
+    import dataclasses
+
+    def frame(**kw):
+        cfg = dataclasses.replace(config, segment_mode="analytic", **kw)
+        return np.asarray(color.render_frame(
+            g, params, lights, Algorithm.BEAM, cfg, steps))
+
+    tangent8 = frame(beam_quadrature_rule="tangent", beam_quadrature_nodes=8)
+    mid128 = frame(beam_quadrature_rule="midpoint", beam_quadrature_nodes=128)
+    assert np.isfinite(tangent8).all() and tangent8.max() > 0
+    np.testing.assert_allclose(tangent8, mid128, rtol=2e-2, atol=1e-4)
+    # The tangent-8 frame must approximate the converged integral at least
+    # as well as the default midpoint-16 frame does.
+    mid16 = frame(beam_quadrature_rule="midpoint", beam_quadrature_nodes=16)
+    err_t = np.abs(tangent8 - mid128).max()
+    err_m = np.abs(mid16 - mid128).max()
+    assert err_t <= err_m * 1.5 + 1e-5, (err_t, err_m)

@@ -475,3 +475,146 @@ def test_beam_quadrature_paired_matches_exact():
         paired=True)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_beam_tangent_quadrature_beats_midpoint16():
+    """Tangent-rule Gauss nodes: 8 nodes measure at least as accurate as
+    the 16-node midpoint rule against a fine discretization, per segment,
+    across closest-approach regimes (the fast-Beam accuracy claim)."""
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import segment_sphere_quadrature_xla
+
+    rs = np.random.RandomState(77)
+    r = 0.3
+    # One sample at the origin against many segments spanning q ~ 0.6..80
+    # (2r..far): random direction, random offset along the segment.
+    n = 200
+    q = (10.0 ** (rs.rand(n) * 2.13 - 0.22)).astype(np.float32)
+    ln = (rs.rand(n) * 20 + 0.5).astype(np.float32)
+    boff = (rs.rand(n) * ln).astype(np.float32)
+    # Build segments with closest approach q to the origin: perpendicular
+    # offset q along a random unit vector, direction orthogonal to it.
+    vperp = rs.randn(n, 3).astype(np.float32)
+    vperp /= np.linalg.norm(vperp, axis=1, keepdims=True)
+    vdir = rs.randn(n, 3).astype(np.float32)
+    vdir -= (vdir * vperp).sum(1, keepdims=True) * vperp
+    vdir /= np.linalg.norm(vdir, axis=1, keepdims=True)
+    pos_from = q[:, None] * vperp - boff[:, None] * vdir
+    pos_to = pos_from + ln[:, None] * vdir
+    samples = jnp.zeros((1, 3), jnp.float32)
+    inten = jnp.ones((n,), jnp.float32)
+
+    def per_seg(nodes, rule):
+        outs = []
+        for k in range(n):
+            outs.append(float(segment_sphere_quadrature_xla(
+                samples, jnp.asarray(pos_from[k:k + 1]),
+                jnp.asarray(pos_to[k:k + 1]), inten[:1],
+                jnp.asarray([True]), r, nodes, rule=rule)[0]))
+        return np.asarray(outs)
+
+    ref = per_seg(4096, "midpoint")
+    mid16 = per_seg(16, "midpoint")
+    tan8 = per_seg(8, "tangent")
+    denom = np.maximum(np.abs(ref), 1e-12)
+    err_mid = np.abs(mid16 - ref) / denom
+    err_tan = np.abs(tan8 - ref) / denom
+    # Strictly better in aggregate and never catastrophically worse.
+    assert np.median(err_tan) < np.median(err_mid)
+    assert np.percentile(err_tan, 95) < np.percentile(err_mid, 95)
+    assert err_tan.max() < max(err_mid.max() * 1.5, 2e-3)
+    # And tight in absolute terms away from the guard region.
+    assert np.percentile(err_tan, 95) < 1e-3
+
+
+def _far_from_guard(px, py, pz, pos_from, pos_to, radius, margin=0.05):
+    """Weight mask zeroing samples within ``margin`` of any segment's
+    sphere-sweep surface (closest approach < r + margin): inside it the
+    integrand is near-singular (e = d - r crosses 0 along the segment),
+    where a node's value/bad-flag diverges between the kernel's
+    polynomial _atan/_cos and the oracle's exact transcendentals — a
+    regime the quadrature mode is approximate in under every rule
+    (kernel-vs-kernel consistency there is covered by the paired test)."""
+    p = np.stack([np.asarray(px).ravel(), np.asarray(py).ravel(),
+                  np.asarray(pz).ravel()], axis=-1)
+    ok = np.ones(p.shape[0], bool)
+    for k in range(pos_from.shape[0]):
+        a = np.asarray(pos_from[k])
+        seg = np.asarray(pos_to[k]) - a
+        ln2 = float(seg @ seg)
+        t = np.clip((p - a) @ seg / max(ln2, 1e-12), 0.0, 1.0)
+        d = np.linalg.norm(p - a - t[:, None] * seg, axis=-1)
+        ok &= d - radius > margin
+    return jnp.asarray(ok.astype(np.float32).reshape(np.asarray(px).shape))
+
+
+def test_beam_tangent_kernel_matches_xla():
+    """Pallas tangent-rule kernels (both layouts) == the XLA tangent
+    oracle (kernel _atan/_cos polynomials vs transcendentals -> small
+    rtol; guard-adjacent samples masked, see _far_from_guard)."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(78)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    w = _far_from_guard(px, py, pz, pos_from, pos_to, 0.25)
+    want = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                           impl="xla", sphere_radius=0.25, quad_nodes=8,
+                           quad_rule="tangent")
+    got = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                          impl="vpu_interpret", sphere_radius=0.25,
+                          quad_nodes=8, quad_rule="tangent")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=1e-6)
+
+    Cp, Rc = 16, 1024
+    pxl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pyl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pzl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    wl = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    wl = wl * _far_from_guard(pxl, pyl, pzl, pos_from, pos_to, 0.25)
+    want_l = gather_segments(pxl, pyl, pzl, wl, pos_from, pos_to, inten,
+                             valid, impl="xla", sphere_radius=0.25,
+                             quad_nodes=8, quad_rule="tangent",
+                             layout="lanes")
+    got_l = gather_segments(pxl, pyl, pzl, wl, pos_from, pos_to, inten,
+                            valid, impl="vpu_interpret", sphere_radius=0.25,
+                            quad_nodes=8, quad_rule="tangent",
+                            layout="lanes")
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_beam_tangent_paired_matches_exact():
+    """Paired tangent-node evaluation (weights ride the numerators, one
+    divide per 4 nodes) == per-node divide, to reassociation error,
+    including a non-multiple-of-4 node count."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(79)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    for nodes in (8, 7):
+        exact = gather_segments(
+            px, py, pz, w, pos_from, pos_to, inten, valid,
+            sphere_radius=0.25, quad_nodes=nodes, quad_rule="tangent",
+            impl="vpu_interpret")
+        fast = gather_segments(
+            px, py, pz, w, pos_from, pos_to, inten, valid,
+            sphere_radius=0.25, quad_nodes=nodes, quad_rule="tangent",
+            impl="vpu_interpret", paired=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-4, atol=1e-6)

@@ -180,6 +180,17 @@ class StaticConfig:
     #              perf mode benchmark configs opt into.
     gather_eval: str = "exact"
     beam_quadrature_nodes: int = 16
+    # Node placement for the Beam analytic quadrature:
+    #   "midpoint" — composite midpoint in arclength s (the default;
+    #                validated vs fine discretizations at 16 nodes).
+    #   "tangent"  — Gauss-Legendre in the tangent-transformed variable
+    #                s = b + q tan(theta), under which the sphere-light
+    #                integrand is near-constant (q/(q - r cos theta)^2).
+    #                Measured strictly more accurate than midpoint-16 at
+    #                8 nodes in every closest-approach regime, at ~half
+    #                the per-(sample, light) cost — the fast Beam setting
+    #                is (rule="tangent", nodes=8).
+    beam_quadrature_rule: str = "midpoint"
     # PATH scatter segments below this many total rays skip the
     # compaction plumbing entirely (the fixed cost outweighs the gather
     # savings on tiny images).  Tests lower it to cover the compact path

@@ -226,17 +226,26 @@ def segment_integral_xla(samples, pos_from, pos_to, intensity, valid):
     ii = jnp.where(valid & (length > 0), intensity / (FOUR_PI * safe), 0.0)
     d = samples[:, None, :] - pos_from[None, :, :]  # (N, L, 3)
     b = jnp.sum(d * u[None, :, :], axis=-1)
-    c = jnp.sum(d * d, axis=-1)
-    q = jnp.sqrt(jnp.maximum(c - b * b, GUARD))
-    integral = (jnp.arctan((length[None, :] - b) / q) + jnp.arctan(b / q)) / q
-    return jnp.sum(ii[None, :] * integral, axis=-1)
+    # Cancellation-free q^2 and subtended angle (see gather_vpu._cross_q2
+    # and _subtended_angle): integral = dtheta / q.
+    cross = jnp.cross(d, u[None, :, :])
+    q2 = jnp.maximum(jnp.sum(cross * cross, axis=-1), GUARD)
+    q = jnp.sqrt(q2)
+    ll = length[None, :]
+    den = q2 - b * (ll - b)
+    ad = jnp.arctan(ll * q / jnp.where(den == 0.0, 1e-30, den))
+    dt = jnp.where(den >= 0.0, ad, ad + jnp.float32(3.1415927410125732))
+    return jnp.sum(ii[None, :] * (dt / q), axis=-1)
 
 
 def segment_sphere_quadrature_xla(
-    samples, pos_from, pos_to, intensity, valid, radius, nodes: int
+    samples, pos_from, pos_to, intensity, valid, radius, nodes: int,
+    rule: str = "midpoint",
 ):
-    """Midpoint quadrature of the VBL sphere-light integrand, XLA reference
-    path (matches ops/pallas/gather_vpu._segment_sphere_kernel)."""
+    """Quadrature of the VBL sphere-light integrand, XLA reference path
+    (matches ops/pallas/gather_vpu._segment_sphere_kernel): composite
+    midpoint in s, or Gauss-Legendre in the tangent-transformed variable
+    (rule="tangent"; see gather_vpu._quad_nodes_nq for the derivation)."""
     seg = pos_to - pos_from
     length = jnp.linalg.norm(seg, axis=-1)
     safe = jnp.where(length > 0, length, 1.0)
@@ -245,6 +254,30 @@ def segment_sphere_quadrature_xla(
     d = samples[:, None, :] - pos_from[None, :, :]
     b = jnp.sum(d * u[None, :, :], axis=-1)
     c = jnp.sum(d * d, axis=-1)
+    if rule == "tangent":
+        from .pallas.gather_vpu import _gauss01
+
+        xs, ws = _gauss01(nodes)
+        # Cancellation-free q^2 = |d x u|^2 (matches _quad_nodes_nq).
+        cross = jnp.cross(d, u[None, :, :])
+        q2 = jnp.maximum(jnp.sum(cross * cross, axis=-1), GUARD)
+        q = jnp.sqrt(q2)
+        t0 = jnp.arctan(-b / q)
+        # Cancellation-free dtheta (matches _quad_nodes_nq): tangent-
+        # difference identity instead of a difference of two arctans.
+        ll = length[None, :]
+        den = q2 - b * (ll - b)
+        ad = jnp.arctan(ll * q / jnp.where(den == 0.0, 1e-30, den))
+        dt = jnp.where(den >= 0.0, ad, ad + jnp.float32(3.1415927410125732))
+        xj = jnp.asarray(xs, jnp.float32)[None, None, :]
+        wj = jnp.asarray(ws, jnp.float32)[None, None, :]
+        cth = jnp.cos(t0[..., None] + xj * dt[..., None])
+        e = q[..., None] - radius * cth
+        e2 = e * e
+        bad = e2 < GUARD * (cth * cth)
+        f = jnp.where(bad, 0.0, wj / e2)  # bad covers e2 ~ 0 (no clamp)
+        total = jnp.sum(f, axis=-1) * (dt * q)
+        return jnp.sum(ii[None, :] * total, axis=-1)
     s = (jnp.arange(nodes, dtype=jnp.float32) + 0.5) / nodes  # (J,)
     sj = s[None, None, :] * length[None, :, None]  # (1, L, J)
     d2 = jnp.maximum(
@@ -349,13 +382,17 @@ def gather_segments_discrete(
 def gather_segments(
     px, py, pz, weight, pos_from, pos_to, intensity, valid,
     *, impl: str = "auto", sphere_radius=None, quad_nodes: int = 16,
+    quad_rule: str = "midpoint",
     layout: str = "slots", lane_need=None,
     paired: bool = False,
 ):
     """Analytic (VRL) / quadrature (VBL) segment gather over SoA planes.
 
     ``sphere_radius=None`` -> closed-form point-sub-light line integral;
-    otherwise the ``quad_nodes``-point sphere-light quadrature.
+    otherwise the ``quad_nodes``-point sphere-light quadrature under
+    ``quad_rule`` ("midpoint" in s, or Gauss-Legendre in the "tangent"-
+    transformed variable — strictly more accurate at half the nodes; see
+    pallas/gather_vpu._quad_nodes_nq).
     ``layout`` as in gather_planes: "slots" -> (R, C) weighted radiance
     (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums.
     ``paired=True``: one divide per 4 quadrature nodes in the VBL kernels
@@ -379,7 +416,7 @@ def gather_segments(
         else:
             out = segment_sphere_quadrature_xla(
                 samples, pos_from, pos_to, intensity, valid, sphere_radius,
-                quad_nodes,
+                quad_nodes, rule=quad_rule,
             )
         weighted = weight * out.reshape(px.shape)
         if layout == "lanes":
@@ -391,13 +428,15 @@ def gather_segments(
         return lanes_mod.gather_segments_analytic_lanes(
             px, py, pz, weight, pos_from, pos_to, intensity, valid,
             sphere_radius=sphere_radius, quad_nodes=quad_nodes,
+            quad_rule=quad_rule,
             lane_need=lane_need, paired=paired, interpret=interpret,
         )
     R, C = px.shape
     pxm, pym, pzm, wm, block_active, M = _plane_blocks(px, py, pz, weight)
     out = vpu_mod.gather_segments_analytic(
         pxm, pym, pzm, wm, block_active, pos_from, pos_to, intensity, valid,
-        sphere_radius=sphere_radius, quad_nodes=quad_nodes, paired=paired,
+        sphere_radius=sphere_radius, quad_nodes=quad_nodes,
+        quad_rule=quad_rule, paired=paired,
         interpret=interpret,
     )
     return out[:M].reshape(R, C)

@@ -32,7 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..lights import FOUR_PI, GUARD
-from .gather_vpu import _atan
+from .gather_vpu import (
+    _atan, _cross_q2, _node_sum, _quad_nodes_nq, _subtended_angle,
+)
 
 TILE_L = 1024  # rays (lanes) per block
 SLAB = 8  # sublane rows per slab (f32 sublane quantum)
@@ -231,9 +233,12 @@ def _discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref, ux_ref,
 def _analytic_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref, ux_ref,
                      uy_ref, uz_ref, ll_ref, ii_ref, need_ref,
                      px_ref, py_ref, pz_ref, w_ref, o_ref,
-                     *, nodes: int | None, paired: bool = False):
+                     *, nodes: int | None, paired: bool = False,
+                     rule: str = "midpoint"):
     """Lane-layout twin of _segment_kernel (nodes=None, closed-form VRL)
-    and _segment_sphere_kernel (nodes-point VBL quadrature).
+    and _segment_sphere_kernel (nodes-point VBL quadrature under ``rule``
+    — "midpoint" in s or Gauss-Legendre in the "tangent"-transformed
+    variable; see gather_vpu._quad_nodes_nq).
 
     ``paired=True`` (quadrature only): the node sum's one-divide-per-node
     becomes one divide per 4 nodes via the same rational combination as
@@ -254,47 +259,19 @@ def _analytic_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref, ux_ref,
             ll = ll_ref[k]
             ii = ii_ref[k]
             if nodes is None:
-                q = jnp.sqrt(jnp.maximum(c - b * b, GUARD))
-                integral = (_atan((ll - b) / q) + _atan(b / q)) / q
+                q2 = _cross_q2(
+                    (dx, dy, dz), (ux_ref[k], uy_ref[k], uz_ref[k])
+                )
+                iq = jax.lax.rsqrt(q2)
+                integral = _subtended_angle(b, q2, q2 * iq, ll) * iq
                 return acc + ii * integral
 
-            def node_d2e_bad(j):
-                s = (j + 0.5) / nodes * ll
-                d2 = jnp.maximum(c - 2.0 * b * s + s * s, 0.0)
-                d = jnp.sqrt(d2)
-                dd = d - radius
-                d2e = dd * dd
-                bad = (d2e < GUARD) | (d == 0.0)
-                return d2e, bad
-
-            total = jnp.zeros_like(acc)
-            if paired:
-                def node_nq(j):
-                    if j >= nodes:
-                        return jnp.float32(0.0), jnp.float32(1.0)
-                    d2e, bad = node_d2e_bad(j)
-                    return (
-                        jnp.where(bad, 0.0, 1.0),
-                        jnp.where(bad, 1.0, d2e),
-                    )
-
-                for j0 in range(0, nodes, 4):
-                    (n1, q1), (n2, q2), (n3, q3), (n4, q4) = (
-                        node_nq(j0), node_nq(j0 + 1),
-                        node_nq(j0 + 2), node_nq(j0 + 3),
-                    )
-                    q12 = q1 * q2
-                    q34 = q3 * q4
-                    n12 = n1 * q2 + n2 * q1
-                    n34 = n3 * q4 + n4 * q3
-                    total += (n12 * q34 + n34 * q12) / (q12 * q34)
-            else:
-                for j in range(nodes):
-                    d2e, bad = node_d2e_bad(j)
-                    total += jnp.where(
-                        bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD)
-                    )
-            return acc + ii * (ll / nodes) * total
+            node_nq, scale = _quad_nodes_nq(
+                rule, nodes, (dx, dy, dz),
+                (ux_ref[k], uy_ref[k], uz_ref[k]), b, c, ll, radius,
+            )
+            total = _node_sum(node_nq, nodes, paired, acc)
+            return acc + ii * scale * total
 
         return jax.lax.fori_loop(
             start, start + count, seg, jnp.zeros_like(px)
@@ -431,14 +408,16 @@ def gather_segments_discrete_lanes(
 
 def gather_segments_analytic_lanes(
     px, py, pz, wm, pos_from, pos_to, intensity, valid,
-    *, sphere_radius=None, quad_nodes: int = 16, lane_need=None,
+    *, sphere_radius=None, quad_nodes: int = 16,
+    quad_rule: str = "midpoint", lane_need=None,
     paired: bool = False,
     interpret: bool = False,
 ):
     """Analytic VRL / quadrature VBL over lane planes (gather_vpu
-    gather_segments_analytic twin).  ``paired=True``: one divide per 4
-    quadrature nodes (VBL only; the closed-form VRL has one divide per
-    segment already)."""
+    gather_segments_analytic twin).  ``quad_rule`` selects the VBL node
+    placement (gather_vpu._quad_nodes_nq).  ``paired=True``: one divide
+    per 4 quadrature nodes (VBL only; the closed-form VRL has one divide
+    per segment already)."""
     Cp, Rc, block_need = _prep(px, py, pz, wm, lane_need)
     u, length, safe, start, count = segment_cols(
         pos_from, pos_to, intensity, valid
@@ -465,6 +444,7 @@ def gather_segments_analytic_lanes(
         transcendentals=(2 if nodes is None else nodes) * Cp * Rc * L,
     )
     return _call(
-        functools.partial(_analytic_kernel, nodes=nodes, paired=paired),
+        functools.partial(_analytic_kernel, nodes=nodes, paired=paired,
+                          rule=quad_rule),
         10, scalars, (px, py, pz, wm), block_need, Cp, Rc, interpret, cost,
     )

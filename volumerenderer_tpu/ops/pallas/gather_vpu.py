@@ -131,21 +131,178 @@ def _atan(x):
     return jnp.where(x < 0.0, -p, p)
 
 
+def _cos(x):
+    """Polynomial cos for the VPU on (-pi/2, pi/2) — the full range of the
+    tangent-substitution node angles (theta = atan(.) is always inside it).
+
+    Even minimax polynomial in z = x^2; |err| < 3e-7 in f32 — below f32
+    roundoff of the downstream quadrature terms.
+    """
+    z = x * x
+    return 1.0 + z * (
+        -4.9999936e-01
+        + z * (4.1664074e-02 + z * (-1.3856462e-03 + z * 2.3204736e-05))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss01(n: int):
+    """Gauss-Legendre nodes/weights on [0, 1] as Python float tuples
+    (baked into the kernel as immediates; weights sum to 1)."""
+    import numpy as np
+
+    x, w = np.polynomial.legendre.leggauss(n)
+    return tuple(((x + 1.0) / 2.0).tolist()), tuple((w / 2.0).tolist())
+
+
+def _cross_q2(d, u):
+    """Cancellation-free squared closest-approach distance |d x u|^2 of a
+    sample to a segment's line: c - b^2 loses all significance in f32 when
+    the sample sits far along the line (c ~ b^2 >> q^2)."""
+    dx, dy, dz = d
+    ux, uy, uz = u
+    cx = dy * uz - dz * uy
+    cy = dz * ux - dx * uz
+    cz = dx * uy - dy * ux
+    return jnp.maximum(cx * cx + cy * cy + cz * cz, GUARD)
+
+
+_PI_F32 = 3.1415927410125732
+
+
+def _subtended_angle(b, q2, qd, ll):
+    """theta1 - theta0 of a segment [0, L] seen from closest-approach
+    frame coordinates (b = along-line offset, qd = sqrt(q2) = distance to
+    the line), via the tangent-difference identity
+
+        tan(dt) = L q / (q^2 - b (L - b))
+
+    instead of atan((L-b)/q) - atan(-b/q): for far segments subtending a
+    small angle the two ~2e-5-error polynomial atans cancel
+    catastrophically, and dt scales the whole contribution.  One _atan
+    instead of two.  Denominator <= 0 means dt > pi/2 (numerator >= 0)."""
+    den = q2 - b * (ll - b)
+    ad = _atan(ll * qd / jnp.where(den == 0.0, 1e-30, den))
+    return jnp.where(den >= 0.0, ad, ad + jnp.float32(_PI_F32))
+
+
+def _quad_nodes_nq(rule: str, nodes: int, d, u, b, c, ll, radius):
+    """Per-node (numerator, denominator) generator + integral scale for
+    the VBL sphere-light quadrature rules (shared by the slot and lane
+    kernels).  Node j contributes n_j/q_j; guarded and padding (j >= nodes)
+    terms are (0, 1) — exactly zero.  The segment's contribution is
+    ``ii * scale * sum_j n_j/q_j`` with ii = I/(4 pi L).
+
+    ``"midpoint"``: composite midpoint in s — d^2(s) = s^2 - 2 b s + c,
+    n = 1, q = (d - r)^2, scale = L/nodes (the round-2 rule).
+
+    ``"tangent"``: Gauss-Legendre in theta under s = b + q tan(theta),
+    q = closest-approach distance sqrt(c - b^2).  The integrand transforms
+    to q / (q - r cos theta)^2 dtheta — near-constant when q >> r — so
+    n = w_j, q = (q - r cos theta_j)^2, scale = dtheta q (the integral
+    over s itself; ii carries the 1/L as in the midpoint rule, whose
+    scale (L/nodes) Sum f is the same integral).  The reference
+    guard (d - r)^2 < GUARD is evaluated in transformed units as
+    e^2 < GUARD cos^2 (d = q/cos, d - r = e/cos); q^2 is clamped to GUARD,
+    so d > 0 always holds and the d == 0 guard is vacuous (on the guarded
+    near-singular set the mode is approximate under every rule).
+    """
+    if rule == "midpoint":
+        def node_nq(j):
+            if j >= nodes:
+                return jnp.float32(0.0), jnp.float32(1.0)
+            s = (j + 0.5) / nodes * ll
+            d2 = jnp.maximum(c - 2.0 * b * s + s * s, 0.0)
+            d = jnp.sqrt(d2)
+            dd = d - radius
+            d2e = dd * dd
+            bad = (d2e < GUARD) | (d == 0.0)
+            return (
+                jnp.where(bad, 0.0, 1.0),
+                jnp.where(bad, 1.0, d2e),
+            )
+
+        return node_nq, ll / nodes
+
+    if rule == "tangent":
+        xs, ws = _gauss01(nodes)
+        # _cross_q2, not c - b^2: the f32 cancellation there (relative
+        # q^2 error ~ eps * c / q^2) is amplified by the near-peak
+        # 1/(q - r)^2 — measured ~3e-3 relative contribution error at
+        # q ~ 1.2r.  dt via the tangent-difference identity
+        # (_subtended_angle) for the same reason.
+        q2 = _cross_q2(d, u)
+        iq = jax.lax.rsqrt(q2)
+        qd = q2 * iq  # sqrt(q2): segment-line closest-approach distance
+        t0 = _atan(-b * iq)
+        dt = _subtended_angle(b, q2, qd, ll)
+
+        def node_nq(j):
+            if j >= nodes:
+                return jnp.float32(0.0), jnp.float32(1.0)
+            cth = _cos(t0 + jnp.float32(xs[j]) * dt)
+            e = qd - radius * cth
+            e2 = e * e
+            bad = e2 < GUARD * (cth * cth)
+            return (
+                jnp.where(bad, 0.0, jnp.float32(ws[j])),
+                jnp.where(bad, 1.0, e2),
+            )
+
+        return node_nq, dt * qd
+
+    raise ValueError(f"unknown quadrature rule: {rule!r}")
+
+
+def _node_sum(node_nq, nodes: int, paired: bool, like):
+    """sum_j n_j/q_j over the static node list: one guarded divide per node
+    (paired=False) or one divide per 4 nodes via the rational combination
+    (paired=True; padding/guarded (0, 1) terms contribute exactly zero)."""
+    total = jnp.zeros_like(like)
+    if paired:
+        for j0 in range(0, nodes, 4):
+            (n1, q1), (n2, q2), (n3, q3), (n4, q4) = (
+                node_nq(j0), node_nq(j0 + 1),
+                node_nq(j0 + 2), node_nq(j0 + 3),
+            )
+            q12 = q1 * q2
+            q34 = q3 * q4
+            n12 = n1 * q2 + n2 * q1
+            n34 = n3 * q4 + n4 * q3
+            total += (n12 * q34 + n34 * q12) / (q12 * q34)
+    else:
+        for j in range(nodes):
+            n, q = node_nq(j)
+            total += n / q
+    return total
+
+
 def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
                            ux_ref, uy_ref, uz_ref, ll_ref, ii_ref,
                            active_ref, px_ref, py_ref, pz_ref, w_ref, o_ref,
-                           *, nodes: int, paired: bool = False):
-    """Quadrature VBL: midpoint rule over each segment's sphere-light
-    integrand 1/(4 pi (d(s) - r)^2) with a FIXED node count, instead of the
-    reference's len/lightRayStepSize sub-lights (beam_compute_color.comp:
-    11-24 + getSphereLightContribution).  Both are quadratures of the same
-    integral; ``nodes`` trades accuracy for speed (default 16 ~ 8-30x fewer
-    terms).  d^2(s) = s^2 - 2 b s + c is evaluated per node from the
-    per-segment (b, c) — 2 ops — so each node costs ~7 VPU ops.
+                           *, nodes: int, paired: bool = False,
+                           rule: str = "midpoint"):
+    """Quadrature VBL: fixed-node quadrature of each segment's sphere-light
+    integrand 1/(4 pi (d(s) - r)^2), instead of the reference's
+    len/lightRayStepSize sub-lights (beam_compute_color.comp:11-24 +
+    getSphereLightContribution).  Both are quadratures of the same
+    integral; ``nodes`` trades accuracy for speed.
+
+    ``rule="midpoint"``: composite midpoint in s — d^2(s) = s^2 - 2 b s + c
+    from the per-segment (b, c), ~7 VPU ops/node.  ``rule="tangent"``:
+    Gauss-Legendre in the tangent-transformed variable s = b + q tan(theta)
+    (q = closest-approach distance), under which the integrand collapses to
+    q / (q - r cos(theta))^2 — near-constant when q >> r, so 8 tangent
+    nodes measure strictly more accurate than 16 midpoint nodes in every
+    distance regime (scripts/microbench_formulations.py --quad-acc) at
+    ~half the per-(sample, light) cost: one _cos + fma + (pairable) divide
+    per node plus a 2-_atan setup shared with the VRL closed form.
 
     ``paired=True``: one divide per 4 nodes via the rational combination of
     gather_lanes._point_kernel (guarded nodes (n=0, q=1) contribute exactly
     zero) — reassociation-only deviation on an already-approximate mode.
+    Tangent weights ride the per-node numerators, so pairing costs nothing
+    extra.
 
     Segment columns as 1-D SMEM arrays: ax, ay, az, ux, uy, uz, L,
     I/(4 pi L).
@@ -178,43 +335,11 @@ def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
             b = dx * ux + dy * uy + dz * uz
             c = dx * dx + dy * dy + dz * dz
 
-            def node_d2e_bad(j):
-                s = (j + 0.5) / nodes * ll
-                d2 = jnp.maximum(c - 2.0 * b * s + s * s, 0.0)
-                d = jnp.sqrt(d2)
-                dd = d - radius
-                d2e = dd * dd
-                bad = (d2e < GUARD) | (d == 0.0)
-                return d2e, bad
-
-            total = jnp.zeros_like(acc)
-            if paired:
-                def node_nq(j):
-                    if j >= nodes:
-                        return jnp.float32(0.0), jnp.float32(1.0)
-                    d2e, bad = node_d2e_bad(j)
-                    return (
-                        jnp.where(bad, 0.0, 1.0),
-                        jnp.where(bad, 1.0, d2e),
-                    )
-
-                for j0 in range(0, nodes, 4):
-                    (n1, q1), (n2, q2), (n3, q3), (n4, q4) = (
-                        node_nq(j0), node_nq(j0 + 1),
-                        node_nq(j0 + 2), node_nq(j0 + 3),
-                    )
-                    q12 = q1 * q2
-                    q34 = q3 * q4
-                    n12 = n1 * q2 + n2 * q1
-                    n34 = n3 * q4 + n4 * q3
-                    total += (n12 * q34 + n34 * q12) / (q12 * q34)
-            else:
-                for j in range(nodes):
-                    d2e, bad = node_d2e_bad(j)
-                    total += jnp.where(
-                        bad, 0.0, 1.0 / jnp.maximum(d2e, GUARD)
-                    )
-            return acc + ii * (ll / nodes) * total
+            node_nq, scale = _quad_nodes_nq(
+                rule, nodes, (dx, dy, dz), (ux, uy, uz), b, c, ll, radius
+            )
+            total = _node_sum(node_nq, nodes, paired, acc)
+            return acc + ii * scale * total
 
         o_ref[:] = w_ref[:] * jax.lax.fori_loop(
             start, start + count, seg, jnp.zeros_like(o_ref)
@@ -328,13 +453,18 @@ def _segment_kernel(meta_ref, ax_ref, ay_ref, az_ref, ux_ref, uy_ref,
     The reference discretizes each RayLight segment every lightRayStepSize
     into point lights of I/steps (ray_compute_color.comp:11-24) — a Riemann
     sum of I/(4 pi L) * integral_0^L ds / d(s)^2 with
-    d(s)^2 = s^2 - 2 b s + c, b = (p-a).u, c = |p-a|^2:
+    d(s)^2 = s^2 - 2 b s + c, b = (p-a).u:
 
-        integral = [atan((L-b)/q) + atan(b/q)] / q,  q = sqrt(c - b^2)
+        integral = [atan((L-b)/q) + atan(b/q)] / q = dtheta / q,
+        q = closest-approach distance (|d x u|, cancellation-free)
 
-    One evaluation per SEGMENT instead of per sub-light — typically 30-100x
-    fewer terms at default lightRayStepSize.  Approximation mode (not
-    bit-parity): it is the h->0 limit of the reference's sum.
+    evaluated as dtheta * rsqrt(q^2) with dtheta from the tangent-
+    difference identity (_subtended_angle): one _atan and one divide per
+    (sample, segment) instead of two and three, and no small-angle
+    cancellation.  One evaluation per SEGMENT instead of per sub-light —
+    typically 30-100x fewer terms at default lightRayStepSize.
+    Approximation mode (not bit-parity): it is the h->0 limit of the
+    reference's sum.
 
     Segment columns as 1-D SMEM arrays: ax, ay, az, ux, uy, uz, L,
     I/(4 pi L).
@@ -364,10 +494,9 @@ def _segment_kernel(meta_ref, ax_ref, ay_ref, az_ref, ux_ref, uy_ref,
             dy = py - ay
             dz = pz - az
             b = dx * ux + dy * uy + dz * uz
-            c = dx * dx + dy * dy + dz * dz
-            q2 = jnp.maximum(c - b * b, GUARD)
-            q = jnp.sqrt(q2)
-            integral = (_atan((ll - b) / q) + _atan(b / q)) / q
+            q2 = _cross_q2((dx, dy, dz), (ux, uy, uz))
+            iq = jax.lax.rsqrt(q2)
+            integral = _subtended_angle(b, q2, q2 * iq, ll) * iq
             return acc + ii * integral
 
         o_ref[:] = w_ref[:] * jax.lax.fori_loop(
@@ -534,6 +663,7 @@ def gather_segments_analytic(
     *,
     sphere_radius: float | None = None,
     quad_nodes: int = 16,
+    quad_rule: str = "midpoint",
     paired: bool = False,
     interpret: bool = False,
 ):
@@ -542,9 +672,11 @@ def gather_segments_analytic(
     px/py/pz: (M, 128) world coords (padded to TILE_M blocks);
     segments: (L,) arrays; valid must be a contiguous prefix/range.
     ``sphere_radius=None``: closed-form VRL (point sub-lights);
-    otherwise: ``quad_nodes``-point midpoint quadrature of the VBL
-    sphere-light integrand.  Returns (M, 128) radiance sums equal to the
-    h->0 limit of the reference's per-sub-light sum.
+    otherwise: ``quad_nodes``-point quadrature of the VBL sphere-light
+    integrand under ``quad_rule`` ("midpoint" in s, or Gauss-Legendre in
+    the "tangent"-transformed variable — see _quad_nodes_nq).  Returns
+    (M, 128) radiance sums equal to the h->0 limit of the reference's
+    per-sub-light sum.
     """
     from ..lights import FOUR_PI
 
@@ -587,7 +719,7 @@ def gather_segments_analytic(
         )(meta, *cols, block_active, px, py, pz, wm)
     return pl.pallas_call(
         functools.partial(_segment_sphere_kernel, nodes=quad_nodes,
-                          paired=paired),
+                          paired=paired, rule=quad_rule),
         grid=grid,
         in_specs=[smem()] * 11 + [spec()] * 4,
         out_specs=spec(),
@@ -596,7 +728,8 @@ def gather_segments_analytic(
         cost_estimate=pl.CostEstimate(
             flops=(15 + 7 * quad_nodes) * M * 128 * max(L, 1),
             bytes_accessed=4 * M * 128 * 4,
-            transcendentals=quad_nodes * M * 128 * L,
+            transcendentals=(quad_nodes + (2 if quad_rule == "tangent"
+                                           else 0)) * M * 128 * L,
         ),
     )(
         meta,

@@ -839,6 +839,7 @@ def _radiance_planes(grid, wx, wy, wz, weight, params, lights, algorithm,
                 params.beam_radius if algorithm is Algorithm.BEAM else None
             ),
             quad_nodes=config.beam_quadrature_nodes,
+            quad_rule=config.beam_quadrature_rule,
             layout=layout, lane_need=lane_need,
             paired=config.segment_eval == "paired",
         )
