@@ -98,9 +98,13 @@ def main() -> None:
         1080, frames=8, segment_eval="paired")
     run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
         1080, frames=8, segment_mode="analytic")
-    run("Beam/VBL 1920x1080 analytic paired (16-node, fast mode)", A.BEAM,
+    run("Beam/VBL 1920x1080 analytic paired (16-node midpoint)", A.BEAM,
         1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired")
+    run("Beam/VBL 1920x1080 analytic paired (tangent-8, fast mode)",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        segment_eval="paired", beam_quadrature_rule="tangent",
+        beam_quadrature_nodes=8)
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
     run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
         frames=4, warmup=3)

@@ -105,15 +105,19 @@ def test_compact_matches_plain_off_unit_voxels(voxel_size):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
-def test_deep_z_volume_compact_matches_plain():
-    """nz > 128 routes density fetches through the z-row gather whose
-    (tile * S_eff, nz) table XLA materializes — the regime where the
-    round-3 gallery OOM'd (grid.dense.zrow_tile_cap).  Exercise the capped
-    build end-to-end at CI scale: anisotropic volume, deep z axis."""
+@pytest.mark.parametrize("nz", [192, 160])
+def test_deep_z_volume_compact_matches_plain(nz):
+    """nz > 128 routes density fetches through the deep-volume
+    formulations — the regime where the round-3 gallery OOM'd
+    (grid.dense.zrow_tile_cap).  Exercise BOTH end-to-end at CI scale on
+    an anisotropic, deep-z volume: nz=192 takes the sub-row gather
+    (_zrow_len -> 96) with the capped build; nz=160 has no divisor in
+    [96, 128] and takes the flat-gather fallback."""
     from volumerenderer_tpu import Algorithm, Renderer, RenderParams, StaticConfig
-    from volumerenderer_tpu.grid.dense import from_dense
+    from volumerenderer_tpu.grid.dense import _zrow_len, from_dense
 
-    nx, ny, nz = 24, 24, 160
+    assert _zrow_len(192) == 96 and _zrow_len(160) == 0
+    nx, ny = 24, 24
     ax = lambda n: (np.arange(n) + 0.5) / n - 0.5
     x, y, z = np.meshgrid(ax(nx), ax(ny), ax(nz), indexing="ij")
     r = np.sqrt(x * x + y * y + (z * z) * 4.0)

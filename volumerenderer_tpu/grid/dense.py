@@ -128,26 +128,36 @@ class DenseGrid:
         Matches ``pnanovdb_readaccessor_get_value_address`` + read_float with
         the shaders' explicit in-bbox guard: out-of-bbox returns 0.
 
-        Fetch formulation: gather the whole contiguous z-ROW per sample and
+        Fetch formulation: gather a contiguous z-SUB-ROW per sample and
         select the element in-register (exact — a one-hot select of finite
-        data).  TPU XLA lowers full-minor-dim row gathers ~2.5x faster than
-        per-element flat gathers (measured 272 vs 109 Mfetch/s at 96^3,
-        plateau for row lengths 32-128, still ahead at 256); volumes with
-        very long z extents fall back to the flat gather, where the row
-        bandwidth amplification would eat the win.
+        data).  TPU XLA lowers full-minor-dim row gathers ~2.5x faster
+        than per-element flat gathers (measured 272 vs 109 Mfetch/s at
+        96^3).  Volumes deeper than 128 gather sub-rows of _zrow_len(nz)
+        — the largest divisor of nz in [96, 128] — instead of whole
+        z-rows (round 3): at production depth the whole-row form LOSES to
+        the flat gather (62 vs 73 Mfetch/s at nz=312) while sub-row 104
+        wins (88), the one-hot select narrows nz/sub-fold, and the
+        materialized row table that forces zrow_tile_cap's march-tile
+        budget shrinks by the same factor.  nz with no divisor in
+        [96, 128] falls back to the flat gather (short sub-rows measure
+        WORSE than flat — see _zrow_len).
         """
         rel = ijk - self.bbox_min
         shape = jnp.asarray(self.voxels.shape, jnp.int32)
         inb = jnp.all((rel >= 0) & (rel < shape), axis=-1)
         relc = jnp.clip(rel, 0, shape - 1)
         nz = self.voxels.shape[2]
-        if nz <= 512:
-            rows2d = self.voxels.reshape(-1, nz)
+        sub = _zrow_len(nz)
+        if sub:
+            nrow = nz // sub
+            rows2d = self.voxels.reshape(-1, sub)
             row = relc[..., 0] * self.voxels.shape[1] + relc[..., 1]
+            if nrow > 1:
+                row = row * nrow + relc[..., 2] // sub
             rows = jnp.take(rows2d, row, axis=0, mode="clip")
             sel = (
                 jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-                == relc[..., 2:3]
+                == (relc[..., 2:3] % sub if nrow > 1 else relc[..., 2:3])
             )
             vals = jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)
         else:
@@ -223,24 +233,44 @@ class DenseGrid:
         return acc
 
 
+def _zrow_len(nz: int) -> int:
+    """Sub-row length for ``sample_ijk``'s z-row gather: nz itself when it
+    fits a vreg row span (<= 128, the proven-fused regime), else the
+    largest divisor of nz in [96, 128], else 0 (flat-gather fallback).
+
+    The floor is measured, not guessed (scripts/microbench_zrow_deep.py,
+    392x360x312 / 16.7M random fetches on v5e): sub-row 104 = 88 Mfetch/s
+    vs flat take 73 vs whole-row 312 = 62 (the round-2 formulation LOSES
+    to flat at production depth) vs sub-row 78 = 70 (~flat) vs sub-row 52
+    = 15 (collapses).  Short minor dims waste gather lanes, so only rows
+    near the full 128-lane span beat the flat gather on deep volumes."""
+    if nz <= 128:
+        return nz
+    return max((d for d in range(96, 129) if nz % d == 0), default=0)
+
+
 def zrow_tile_cap(grid: DenseGrid, s_eff: int, tile: int) -> int:
     """Cap a march tile so ``sample_ijk``'s z-row fetch table stays bounded.
 
-    Deep volumes are fetched by whole-z-row gather + one-hot select
-    (``sample_ijk``); XLA fuses the (tile * s_eff, nz) row table at
-    nz <= 128 (proven at the 64k headline build tile) but MATERIALIZES it
-    for deeper volumes — measured 33.8 GB at a 64k tile (bunny scale,
-    nz=440), 13.1 GB at the 16k tile inside the device build's rung switch
-    and 14.5 GB in the PATH camera-segment bake (nz=312: the round-3
-    gallery OOMs).  Callers marching ``s_eff`` volume fetches per ray
-    through a ray-tiled ``lax.map`` must cap their tile with this bound.
-    Tile sizes do not affect results (per-ray math only); nz > 512 uses
-    the flat gather (no row table), bounded fine by the ~40 B/sample
-    march temporaries."""
+    Deep volumes are fetched by z-sub-row gather + one-hot select
+    (``sample_ijk``); XLA fuses the (tile * s_eff, row) table when the
+    volume's rows are whole z-rows (nz <= 128; proven at the 64k headline
+    build tile) but MATERIALIZES gathered row tables for deeper volumes —
+    measured 33.8 GB at a 64k tile with round-2 whole-nz rows (bunny
+    scale, nz=440), 13.1 GB at the 16k tile inside the device build's
+    rung switch and 14.5 GB in the PATH camera-segment bake (nz=312: the
+    round-3 gallery OOMs).  Callers marching ``s_eff`` volume fetches per
+    ray through a ray-tiled ``lax.map`` must cap their tile with this
+    bound.  Tile sizes do not affect results (per-ray math only); the
+    round-3 sub-row split (_zrow_len) shrinks the table nz/sub-fold, so
+    the budget admits proportionally larger tiles than whole-row rounds.
+    nz with no divisor in [96, 128] uses the flat gather — no row table,
+    bounded fine by the ~40 B/sample march temporaries."""
     nz = grid.voxels.shape[2]
-    if nz <= 128 or nz > 512:
+    sub = _zrow_len(nz)
+    if nz <= 128 or sub == 0:
         return tile
-    bound = max(256, ((3 << 29) // max(s_eff * nz * 4, 1)) // 256 * 256)
+    bound = max(256, ((3 << 29) // max(s_eff * sub * 4, 1)) // 256 * 256)
     return min(tile, bound)
 
 
