@@ -81,11 +81,26 @@ def main() -> None:
     from volumerenderer_tpu.grid import dense as dense_mod
     from volumerenderer_tpu.render import path as path_mod
 
-    g = procedural.cloud(n=96)
-    params = RenderParams.default().replace(
-        camera_pos=jnp.float32([0.0, 20.0, -75.0]),
-        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
-    )
+    asset = "--asset" in sys.argv
+    if asset:
+        # The 44M-voxel production volume (see scripts/bench_asset.py):
+        # where PATH runs ~1.25 s/frame at 512^2 — attribute that time.
+        dense = np.load(os.path.join(os.path.dirname(__file__), os.pardir,
+                                     ".cache", "asset_vol.npy"))
+        from volumerenderer_tpu.grid.dense import from_dense
+
+        g = from_dense(dense, bbox_min=(-196, -180, -156), voxel_size=0.125,
+                       translation=(0.0, 20.0, 20.0))
+        params = RenderParams.default().replace(
+            camera_pos=jnp.float32([0.0, 20.0, -40.0]),
+            light_source_world_pos=jnp.float32([-10.0, 28.0, 8.0]),
+        )
+    else:
+        g = procedural.cloud(n=96)
+        params = RenderParams.default().replace(
+            camera_pos=jnp.float32([0.0, 20.0, -75.0]),
+            light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+        )
 
     orig_light = path_mod._light_term
     orig_sample = dense_mod.DenseGrid.sample_nearest
@@ -106,17 +121,26 @@ def main() -> None:
             dense_mod.DenseGrid.sample_nearest = orig_sample
 
     # ---- amortized single-chunk walk (the unit the frame is made of) ----
-    S = 166
+    # In --asset mode the walk positions span the asset's index space and
+    # S matches the asset frame's scatter-segment trip count.
+    from volumerenderer_tpu.render.color import required_march_steps
+
+    S = required_march_steps(g, 1.0, 4096) if asset else 166
     light_local = g.world_to_index(params.light_source_world_pos)
     config = StaticConfig(width=256, height=256)
     n = 2048
     rs = np.random.RandomState(0)
-    o = jnp.asarray(rs.rand(n, 3) * 60 + 18, jnp.float32)
+    if asset:
+        lo = np.asarray([-196, -180, -156], np.float32)
+        ext = np.asarray([392, 360, 312], np.float32)
+        o = jnp.asarray(rs.rand(n, 3) * ext + lo, jnp.float32)
+    else:
+        o = jnp.asarray(rs.rand(n, 3) * 60 + 18, jnp.float32)
     dd = rs.randn(n, 3)
     dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
     d = jnp.asarray(dd, jnp.float32)
     seed0 = jnp.asarray(rs.randint(0, 2**31, (n, 3)), jnp.uint32)
-    tmax = jnp.full((n,), 150.0, jnp.float32)
+    tmax = jnp.full((n,), 450.0 if asset else 150.0, jnp.float32)
     alive = jnp.ones((n,), bool)
     REP = 24
 
@@ -133,29 +157,34 @@ def main() -> None:
             return lax.fori_loop(0, REP, body, jnp.zeros(()))
         return f
 
-    for label, kw in [("walk full", {}), ("walk light=const",
-                                          dict(light=True))]:
+    chunk_cases = [] if asset else [
+        ("walk full", {}), ("walk light=const", dict(light=True)),
+    ]
+    for label, kw in chunk_cases:
         with patched(**kw):
             f = mk_walk()
             sync(f(o, d, seed0, tmax, alive))
             t0 = time.perf_counter()
             sync(f(o, d, seed0, tmax, alive))
             dt = (time.perf_counter() - t0) / REP
-        fetches = n * 6 * 32  # 6 blocks x 32 samples (S=166, SB=32)
+        fetches = n * (-(-S // 32)) * 32  # blocks x 32 samples (SB=32)
         print(f"{label:22s} {dt*1e3:7.2f} ms/chunk "
               f"(~{fetches/dt/1e6:6.0f} Mfetch/s upper bound)", flush=True)
 
-    # ---- whole-frame ablations at 256^2 ----
+    # ---- whole-frame ablations ----
+    side = 512 if asset else 256
+    nf = (2, 4) if asset else (8, 32)
+
     def run(label, **kw):
         with patched(**kw):
-            r = Renderer(g, StaticConfig(width=256, height=256), params,
+            r = Renderer(g, StaticConfig(width=side, height=side), params,
                          algorithm=Algorithm.PATH)
-            r.step(8)
+            r.step(nf[0])
             sync(r.state.accum)
             t0 = time.perf_counter()
-            r.step(32)
+            r.step(nf[1])
             sync(r.state.accum)
-            dt = (time.perf_counter() - t0) / 32
+            dt = (time.perf_counter() - t0) / nf[1]
         print(f"{label:22s} {dt*1e3:7.2f} ms/frame", flush=True)
         note(f"done {label}")
 
