@@ -105,6 +105,13 @@ def main() -> None:
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired", beam_quadrature_rule="tangent",
         beam_quadrature_nodes=8)
+    run("Beam/VBL 1920x1080 analytic tangent-8, exact node divides",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        beam_quadrature_rule="tangent", beam_quadrature_nodes=8)
+    run("Beam/VBL 1920x1080 analytic paired tangent-4 (aggressive)",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        segment_eval="paired", beam_quadrature_rule="tangent",
+        beam_quadrature_nodes=4)
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
     run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
         frames=4, warmup=3)
@@ -167,6 +174,31 @@ def main() -> None:
     run_moving("Point/VPL 1080p moving camera (exact rebuild, default)")
     run_moving("Point/VPL 1080p moving camera (motion_mode=truncated)",
                motion_mode="truncated")
+
+    # Settle frame: one camera edit followed by one frame — the exact
+    # rung-capped view rebuild plus the first shaded frame (what a user
+    # pays when a drag stops).
+    r = Renderer(g96, StaticConfig(width=1920, height=1080), params,
+                 algorithm=A.POINT)
+    for fov in (44.9, 45.0):  # warm both parameter points
+        r.set(fov=fov)
+        r.step(1)
+    sync(r.state.accum)
+    settles = []
+    for fov in (44.9, 45.0, 44.9):
+        r.set(fov=fov)
+        t0 = time.perf_counter()
+        r.step(1)
+        sync(r.state.accum)
+        settles.append(time.perf_counter() - t0)
+    label = "Point/VPL 1080p settle frame (exact rebuild + shade)"
+    spf = float(np.median(settles))
+    rows.append((label, spf * 1e3, 1920 * 1080 / spf / 1e6))
+    print(f"{label:55s} {spf*1e3:8.1f} ms "
+          f"(min {min(settles)*1e3:.0f} / max {max(settles)*1e3:.0f})",
+          flush=True)
+    note(f"done: {label}")
+    del r
 
     # Multi-chip parity (VERDICT r2 #6): MeshRenderer on a 1-device TPU
     # mesh must track the single-chip Renderer.  One throwaway timed
