@@ -155,6 +155,19 @@ def test_path_occupied_cell_march_is_exact(cell, subblock):
     np.testing.assert_array_equal(raw_f, skipped_f)
 
 
+@pytest.mark.parametrize("cell", [1, 4])
+def test_path_sorted_chunks_are_exact(cell):
+    """Cost-sorted chunk compaction (path_sort_chunks) is BIT-IDENTICAL
+    to image-order compaction: chunk grouping never changes per-ray walk
+    arithmetic (masked rows fetch zero, draw no RNG, add nothing)."""
+    import dataclasses
+    g, params, config = _bigger_scene(path_compact_min=64, path_chunk=32)
+    unsorted_cfg = dataclasses.replace(config, path_sort_chunks=False)
+    srt, _ = _render(g, params, config, march_cell=cell)
+    uns, _ = _render(g, params, unsorted_cfg, march_cell=cell)
+    np.testing.assert_array_equal(srt, uns)
+
+
 def test_path_shadow_lut_is_exact():
     """The shadow-probe LUT is bit-equal to the gathered probe (same
     floor(probe) voxel, R >= ceil(step))."""

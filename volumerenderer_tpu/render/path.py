@@ -445,6 +445,80 @@ def _walk_segment(grid, params, config, lut, S, light_local,
             sd2.reshape(n), al2.reshape(n))
 
 
+def _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
+                    march_cell=1):
+    """Per-ray upper bound on the _walk_chunk block trip count.
+
+    The chunk ``while_loop`` runs to the SLOWEST ray in the chunk
+    (measured at asset scale: per-ray blocks mean ~1.5, chunk max ~11),
+    so grouping the compacted alive list by this key makes the sum of
+    chunk maxima approach the ideal (fully sorted) total.  Purely a
+    scheduling key: per-ray walk arithmetic is independent of chunk
+    grouping (masked rows fetch zero, draw no RNG, add nothing), so ANY
+    key keeps results bit-identical.  Two forms, picked by cost:
+
+      * cell-count — ceil(selected occupied cells / cell block), the
+        while_loop's actual trip count, ONLY when the dilated-brick
+        table fits the arithmetic packed select (grid.dense
+        _OCC_SELECT_MAX_TERMS): then it costs pure VPU work.  On bigger
+        tables _select_cells falls back to scattered jnp.take and a
+        full-width key would pay n_pad * n_cells gathers per segment
+        (measured at asset scale: +940 ms/frame, wiping out the win).
+      * span — ceil(remaining in-box distance / sub-block span), box
+        exits only (always-cheap arithmetic): a correlation proxy for
+        the trip count (empty space along the span is invisible to it).
+
+    Dead rays key to INT32_MAX, placing them after every alive ray."""
+    from ..grid.dense import _OCC_SELECT_MAX_TERMS
+    from ..ops.march import _select_cells
+
+    step = params.ray_marching_step_size
+    n = o.shape[0]
+    SB = min(max(8, config.path_subblock), S)
+    t0 = jnp.full((n,), 1.0, jnp.float32) * step
+    _h, _e, seg_exit = intersect.intersect_aabb(
+        o, d, grid.box_min_f, grid.box_max_f,
+        jnp.zeros((n,)), jnp.full((n,), params.ray_max_distance),
+    )
+    stop_t = jnp.minimum(tmax, seg_exit)
+    X, Y, Z = grid.brick_occ_dil.shape
+    packed_select = X * Y * (-(-Z // 32)) <= _OCC_SELECT_MAX_TERMS
+    C = march_cell
+    if C > 1 and packed_select:
+        sel_c, _ = _select_cells(
+            grid, o, d, t0, stop_t, alive,
+            step_size=step, max_steps=S, cell=C,
+        )
+        ncell = jnp.sum(sel_c.astype(jnp.int32), axis=-1)
+        CB = max(1, SB // C)
+        blocks = (ncell + CB - 1) // CB
+    else:
+        span = jnp.maximum(stop_t - t0, 0.0)
+        blocks = jnp.ceil(span / (step * jnp.float32(SB))).astype(jnp.int32)
+    return jnp.where(alive, blocks, jnp.iinfo(jnp.int32).max)
+
+
+def _sorted_compact(grid, params, config, S, o, d, tmax, alive,
+                    march_cell=1):
+    """Alive-ray compaction ordered by _chunk_cost_key (ascending): the
+    first ``count`` slots are the alive rays, cheapest chunks first.
+    Tiled over probe_tile so the cell-endpoint temporaries stay small."""
+    n = o.shape[0]
+    tile = _chunk_for(n, config.probe_tile)
+    if tile == n:
+        key = _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
+                              march_cell=march_cell)
+    else:
+        m = n // tile
+        key = jax.lax.map(
+            lambda args: _chunk_cost_key(grid, params, config, S, *args,
+                                         march_cell=march_cell),
+            (o.reshape(m, tile, 3), d.reshape(m, tile, 3),
+             tmax.reshape(m, tile), alive.reshape(m, tile)),
+        ).reshape(n)
+    return jnp.argsort(key)
+
+
 def _compact_indices(alive, cap):
     """Indices of the first ``cap`` alive rows (in order) + validity mask.
 
@@ -501,7 +575,11 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
     lanes = jnp.arange(W, dtype=jnp.int32)
 
     for _k in range(2, config.max_path_segments + 1):
-        idx, _valid = _compact_indices(alive, n_pad)
+        if config.path_sort_chunks:
+            idx = _sorted_compact(grid, params, config, S, o, d, tmax,
+                                  alive, march_cell=march_cell)
+        else:
+            idx, _valid = _compact_indices(alive, n_pad)
         count = jnp.sum(alive.astype(jnp.int32))
         n_chunks = (count + W - 1) // W
 
