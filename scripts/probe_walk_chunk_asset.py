@@ -3,6 +3,12 @@
 Attributes the asset PATH frame: if the frame's ~1178 ms is K chunk
 invocations x this unit cost, the walk structure claim gets numbers.
 Variants: march_cell 8 vs 1, light=const, short tmax (early exit).
+
+METHOD: one device sync costs ~26-30 ms on this stack regardless of
+work (axon lazy-client D2H fence), so each number is the SLOPE between
+REP=8 and REP=40 executions — floor and call overhead cancel.  An
+earlier revision divided a single REP=16 run by 16 and over-reported
+every unit cost by ~1.6 ms.
 """
 from __future__ import annotations
 import contextlib, os, sys, time
@@ -52,7 +58,7 @@ dd = rs.randn(n, 3); dd /= np.linalg.norm(dd, axis=-1, keepdims=True)
 d = jnp.asarray(dd, jnp.float32)
 seed0 = jnp.asarray(rs.randint(0, 2**31, (n, 3)), jnp.uint32)
 alive = jnp.ones((n,), bool)
-REP = 16
+R_LO, R_HI = 8, 40
 
 orig_light = path_mod._light_term
 
@@ -69,20 +75,23 @@ def patched(light=False):
 def run(label, mc, tmax_v, light=False):
     tmax = jnp.full((n,), tmax_v, jnp.float32)
     with patched(light=light):
-        @jax.jit
-        def f(o, d, seed0, tmax, alive):
-            def body(i, acc):
-                dc, *_ = path_mod._walk_chunk(
-                    g, params, config, None, S, light_local,
-                    o, d, seed0,
-                    i.astype(jnp.uint32) + jnp.zeros((n,), jnp.uint32),
-                    tmax, alive, march_cell=mc)
-                return acc + jnp.sum(dc)
-            return lax.fori_loop(0, REP, body, jnp.zeros(()))
-        sync(f(o, d, seed0, tmax, alive))
-        t0 = time.perf_counter()
-        sync(f(o, d, seed0, tmax, alive))
-        dt = (time.perf_counter() - t0) / REP
+        def mk(rep):
+            @jax.jit
+            def f(o, d, seed0, tmax, alive):
+                def body(i, acc):
+                    dc, *_ = path_mod._walk_chunk(
+                        g, params, config, None, S, light_local,
+                        o, d, seed0,
+                        i.astype(jnp.uint32) + jnp.zeros((n,), jnp.uint32),
+                        tmax, alive, march_cell=mc)
+                    return acc + jnp.sum(dc)
+                return lax.fori_loop(0, rep, body, jnp.zeros(()))
+            sync(f(o, d, seed0, tmax, alive))
+            t0 = time.perf_counter()
+            sync(f(o, d, seed0, tmax, alive))
+            return time.perf_counter() - t0
+        lo_t, hi_t = mk(R_LO), mk(R_HI)
+        dt = (hi_t - lo_t) / (R_HI - R_LO)
     print(f"{label:34s} {dt*1e3:7.2f} ms/chunk-walk", flush=True)
     note(f"done {label}")
 

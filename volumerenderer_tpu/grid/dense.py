@@ -56,11 +56,30 @@ def _occ_table_lookup(table, relb):
     v5e) and dominated the compact-view rebuild (411 ms of a 1.7 s settle
     at 1080p); the arithmetic select is compute-bound VPU work instead
     (measured ~20x faster at the same call sites).  Bit-identical results.
-    Large tables keep the jnp.take path.
+
+    Large tables with Z <= 128 use the same z-row formulation as
+    ``sample_ijk``: gather a whole z-row per lookup (full-minor-dim row
+    gathers lower ~3x faster than per-element flat gathers) and select
+    the z element in-register — exact, measured 0.43 vs 1.32 ms at the
+    asset-scale PATH chunk shape (scripts/probe_select_cost.py, 49x45x39
+    table, 161k lookups, v5e).  Z > 128 brick tables (volumes deeper
+    than 1024 voxels) keep the flat jnp.take path — short-minor-dim row
+    gathers measure WORSE than flat (see _zrow_len), and splitting a
+    bool table's rows is not worth the table bloat at that scale.
     """
     X, Y, Z = table.shape
     W = -(-Z // 32)
     if X * Y * W > _OCC_SELECT_MAX_TERMS:
+        if Z <= 128:
+            rows = jnp.take(table.reshape(X * Y, Z),
+                            relb[..., 0] * Y + relb[..., 1],
+                            axis=0, mode="clip")
+            selz = (
+                jax.lax.broadcasted_iota(jnp.int32, rows.shape,
+                                         rows.ndim - 1)
+                == relb[..., 2:3]
+            )
+            return jnp.any(rows & selz, axis=-1)
         lin = (relb[..., 0] * Y + relb[..., 1]) * Z + relb[..., 2]
         return jnp.take(table.reshape(-1), lin, mode="clip")
     t = table.reshape(X * Y, Z).astype(jnp.uint32)
