@@ -128,17 +128,21 @@ def test_occ_table_lookup_matches_take():
         lin = (relb[..., 0] * Y + relb[..., 1]) * Z + relb[..., 2]
         want = np.asarray(jnp.take(table.reshape(-1), lin, mode="clip"))
         np.testing.assert_array_equal(got, want)
-    # force the fallback path (terms above the bound) and check it too
+    # force the large-table paths (terms above the bound) and check both:
+    # Z <= 128 -> z-row gather + in-register one-hot; Z > 128 -> flat take
     old = dense_mod._OCC_SELECT_MAX_TERMS
     try:
         dense_mod._OCC_SELECT_MAX_TERMS = 1
-        table = jnp.asarray(rs.rand(6, 6, 6) < 0.3)
-        relb = jnp.asarray(
-            np.stack([rs.randint(0, 6, 512)] * 3, axis=-1), jnp.int32)
-        got = np.asarray(dense_mod._occ_table_lookup(table, relb))
-        lin = (relb[..., 0] * 6 + relb[..., 1]) * 6 + relb[..., 2]
-        want = np.asarray(jnp.take(table.reshape(-1), lin, mode="clip"))
-        np.testing.assert_array_equal(got, want)
+        for shape in [(6, 6, 6), (2, 3, 200)]:
+            X, Y, Z = shape
+            table = jnp.asarray(rs.rand(*shape) < 0.3)
+            relb = jnp.asarray(
+                np.stack([rs.randint(0, X, 512), rs.randint(0, Y, 512),
+                          rs.randint(0, Z, 512)], axis=-1), jnp.int32)
+            got = np.asarray(dense_mod._occ_table_lookup(table, relb))
+            lin = (relb[..., 0] * Y + relb[..., 1]) * Z + relb[..., 2]
+            want = np.asarray(jnp.take(table.reshape(-1), lin, mode="clip"))
+            np.testing.assert_array_equal(got, want)
     finally:
         dense_mod._OCC_SELECT_MAX_TERMS = old
 
