@@ -106,6 +106,16 @@ def test_render_offline_and_viewer_wiring(tmp_path):
     assert int(r.state.frame_count) == 0
 
 
+def test_cli_render(tmp_path):
+    """`python -m volumerenderer_tpu render` end-to-end on a tiny frame."""
+    from volumerenderer_tpu.__main__ import main
+
+    out = str(tmp_path / "cli.png")
+    rc = main(["render", "--size", "16", "--frames", "1",
+               "--algorithm", "POINT", "--out", out])
+    assert rc == 0 and (tmp_path / "cli.png").stat().st_size > 0
+
+
 def test_frame_stats():
     fs = FrameStats()
     fs.tick(); fs.tick(); fs.tick()

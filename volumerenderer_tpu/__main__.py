@@ -1,0 +1,95 @@
+"""Command-line entry point: ``python -m volumerenderer_tpu``.
+
+The reference is launched as a desktop executable that opens a window on
+``bunny_cloud.vdb`` (src/main.cpp:1157-1167, 1217-1227).  The TPU build's
+equivalent launcher:
+
+  python -m volumerenderer_tpu render [--volume a.vdb] [--algorithm RAY]
+      [--size 512] [--frames 16] [--out out.png]      # headless render
+  python -m volumerenderer_tpu view   [--volume a.vdb] [--size 512]
+                                                       # interactive window
+  python -m volumerenderer_tpu bench                   # tiny self-check
+
+``--volume`` accepts .vdb / .nvdb / .npz (grid.load); without it a
+procedural cloud stands in for the reference's bunny asset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _make_renderer(args, algorithm=None):
+    import jax.numpy as jnp
+
+    from . import Algorithm, Renderer, RenderParams, StaticConfig, grid
+
+    g = (grid.load(args.volume) if args.volume
+         else grid.procedural.cloud(n=96))
+    params = RenderParams.default().replace(
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+    )
+    config = StaticConfig(width=args.size, height=args.size)
+    algo = Algorithm[args.algorithm] if algorithm is None else algorithm
+    return Renderer(g, config, params, algorithm=algo)
+
+
+def _cmd_render(args) -> int:
+    from .io import ppm
+
+    r = _make_renderer(args)
+    t0 = time.time()
+    r.step(args.frames)
+    img = r.image_u8()
+    if args.out.endswith(".ppm"):
+        ppm.write_ppm(args.out, img)
+    else:
+        ppm.write_png(args.out, img)
+    n = int(r.lights.count) if r.lights is not None else 0
+    print(f"{args.algorithm} {args.frames} frames in {time.time()-t0:.1f}s "
+          f"(lights={n}) -> {args.out}")
+    return 0
+
+
+def _cmd_view(args) -> int:
+    from . import Algorithm
+    from .viewer import InteractiveViewer
+
+    r = _make_renderer(args, algorithm=Algorithm[args.algorithm])
+    InteractiveViewer(r).run()
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from . import Algorithm
+
+    args.algorithm = Algorithm.POINT.name
+    args.volume, args.size, args.frames = "", 128, 8
+    args.out = "/tmp/volumerenderer_tpu_bench.png"
+    return _cmd_render(args)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m volumerenderer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("render", _cmd_render), ("view", _cmd_view),
+                     ("bench", _cmd_bench)):
+        p = sub.add_parser(name)
+        p.set_defaults(fn=fn)
+        if name != "bench":
+            p.add_argument("--volume", default="",
+                           help=".vdb/.nvdb/.npz (default: procedural cloud)")
+            p.add_argument("--size", type=int, default=512)
+            p.add_argument("--algorithm", default="RAY",
+                           choices=["BEAM", "RAY", "POINT", "SPHERE", "PATH"])
+        if name == "render":
+            p.add_argument("--frames", type=int, default=16)
+            p.add_argument("--out", default="render.png")
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
