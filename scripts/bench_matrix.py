@@ -150,7 +150,7 @@ def main() -> None:
 
     # Moving camera at the headline config: (a) default exact mode — the
     # full device-side view rebuild every frame; (b) the opt-in interactive
-    # motion mode (StaticConfig.motion_mode="truncated", PARITY.md #18).
+    # motion modes (StaticConfig.motion_mode, PARITY.md #18).
     def run_moving(label, **cfg):
         r = Renderer(g96, StaticConfig(width=1920, height=1080, **cfg),
                      params, algorithm=A.POINT)
@@ -172,6 +172,8 @@ def main() -> None:
         del r
 
     run_moving("Point/VPL 1080p moving camera (exact rebuild, default)")
+    run_moving("Point/VPL 1080p moving camera (motion_mode=coarse)",
+               motion_mode="coarse")
     run_moving("Point/VPL 1080p moving camera (motion_mode=truncated)",
                motion_mode="truncated")
 

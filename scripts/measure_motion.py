@@ -1,13 +1,17 @@
 """Measure the interactive-motion timeline at 1080p (VERDICT r2 #3):
-per-frame cost while dragging the camera (motion_mode="truncated"), the
-settle frame (first key-stable frame -> exact device rebuild), and the
-frames after it (cached steady state).
+per-frame cost while dragging the camera (motion_mode="coarse" by
+default — full-depth strided march, brightness-preserving; pass
+--mode truncated for the short-prefix variant), the settle frame (first
+key-stable frame -> exact device rebuild), and the frames after it
+(cached steady state).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/measure_motion.py
+         [--mode coarse|truncated] [--stride 8]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -25,6 +29,11 @@ def sync(x) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="coarse",
+                    choices=["coarse", "truncated"])
+    ap.add_argument("--stride", type=int, default=12)
+    args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -41,15 +50,20 @@ def main() -> None:
         camera_pos=np.float32([0.0, 20.0, -75.0]),
         light_source_world_pos=np.float32([0.0, 20.0, 20.0]),
     )
-    r = Renderer(g, StaticConfig(width=W, height=H, motion_mode="truncated"),
-                 params, algorithm=Algorithm.POINT)
+    r = Renderer(
+        g,
+        StaticConfig(width=W, height=H, motion_mode=args.mode,
+                     motion_stride=args.stride),
+        params, algorithm=Algorithm.POINT)
+    print(f"motion_mode={args.mode} stride={args.stride}", flush=True)
 
     # Warm every program: steady state, one drag frame, one settle rebuild.
     r.step(4); sync(r.state.accum)
     r.set(camera_pos=np.float32([0.0, 20.0, -75.5])); r.step(1)
     sync(r.state.accum)          # drag frame compiled
     r.step(1); sync(r.state.accum)  # settle (exact rebuild) compiled
-    r.step(2); sync(r.state.accum)  # cached compiled
+    r.step(8); sync(r.state.accum)  # cached BATCHED-8 program compiled
+    # (the timed cached region below steps 8 frames -> frame_batch path)
     print("warm; measuring timeline...", flush=True)
 
     # Drag: 6 frames, new camera each frame.

@@ -80,9 +80,10 @@ def test_render_offline_and_viewer_wiring(tmp_path):
         r, 2, str(tmp_path / "o.png"), callback=lambda i, im: seen.append(i))
     assert out.shape == (12, 16, 3) and seen == [1, 2]
     v = viewer.InteractiveViewer(r)
-    # The interactive window defaults to the truncated motion path (drag
-    # responsiveness); the library default stays exact ("off").
-    assert r.config.motion_mode == "truncated"
+    # The interactive window defaults to the coarse motion path (drag
+    # responsiveness at settled-image brightness); the library default
+    # stays exact ("off").
+    assert r.config.motion_mode == "coarse"
     v.tick()  # renders one frame into the Agg canvas
     assert int(r.state.frame_count) == 3
     # Slider edit does not reset; refresh button does.

@@ -296,6 +296,50 @@ def test_motion_mode_truncated_then_settles_exact():
     assert r_off._view is not v0  # exact rebuild even mid-"drag"
 
 
+def test_motion_mode_coarse_preserves_brightness_and_settles_exact():
+    """motion_mode="coarse": drag frames march the full depth at a strided
+    step, so their brightness approximates the settled image (the
+    "truncated" prefix is several times dimmer at the reference's low
+    default absorption — the bug this mode exists to fix); the first
+    key-stable frame rebuilds exactly."""
+    import dataclasses
+    import math
+
+    def moved(mode, **cfg):
+        r = small_renderer(algorithm=Algorithm.POINT)
+        r.config = dataclasses.replace(r.config, motion_mode=mode, **cfg)
+        r.step(1)
+        settled_view = r._view
+        r.set(camera_pos=[0.0, 1.0, -15.0])
+        r.refresh()
+        r.step(1)  # motion frame (or exact rebuild when mode="off")
+        img = np.asarray(r.image())
+        if mode != "off":
+            assert r._view is settled_view  # no exact rebuild mid-drag
+        return r, img
+
+    r_ref, exact = moved("off")
+    r_co, coarse = moved("coarse", motion_stride=4)
+    _, trunc = moved("truncated", motion_cap=8)
+    assert np.isfinite(coarse).all() and coarse.max() > 0
+    # Brightness parity: the coarse preview lands near the exact frame;
+    # the truncated prefix demonstrably does not (regression anchor).
+    ratio_coarse = coarse.mean() / exact.mean()
+    ratio_trunc = trunc.mean() / exact.mean()
+    assert 0.6 < ratio_coarse < 1.7, ratio_coarse
+    assert abs(math.log(ratio_coarse)) < abs(math.log(max(ratio_trunc,
+                                                          1e-9)))
+    # Settle: key repeats -> exact rebuild, matching a motion-off session
+    # bit-exactly from a fresh accumulation.
+    r_co.refresh()
+    r_co.step(1)
+    assert r_co.view_exact
+    r_ref.refresh()
+    r_ref.step(1)
+    np.testing.assert_array_equal(np.asarray(r_co.state.accum),
+                                  np.asarray(r_ref.state.accum))
+
+
 def test_gather_eval_paired_matches_exact_render():
     """config.gather_eval="paired" renders Point/Sphere frames equal to the
     exact evaluation up to the documented reassociation tolerance (the

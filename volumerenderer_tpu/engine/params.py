@@ -132,18 +132,37 @@ class StaticConfig:
     # degraded path instead of rebuilding the exact view cache per frame;
     # the settled camera rebuilds exactly on the next unchanged frame.
     #   "off"       — reference parity: every frame exact (default).
+    #   "coarse"    — motion frames march the FULL depth range at
+    #                 ``motion_stride`` × the configured step size (the
+    #                 march math multiplies every contribution and
+    #                 attenuation by the step, so the coarser Riemann sum
+    #                 approximates the same integral — brightness is
+    #                 preserved, unlike "truncated"), through the PLAIN
+    #                 UNCACHED step: no view build, no transposes, one
+    #                 already-compiled program per drag frame (camera is
+    #                 a traced value).  Measured @1080p/96^3: stride 12 =
+    #                 12.8 Mrays/s mid-drag at settled-image brightness
+    #                 (scripts/probe_motion_paths.py; the device-build
+    #                 variant pays a ~150 ms fixed build cost and the
+    #                 truncated prefix is 5.5x dim).  The photon walk
+    #                 shares the coarser step (its attenuation is also
+    #                 per-unit-length; scatter placement shifts slightly
+    #                 — disclosed preview semantics, and POINT/SPHERE
+    #                 normalize by lightCount).
     #   "truncated" — motion frames march only the first ``motion_cap``
-    #                 occupied samples per ray (front-to-back truncation:
-    #                 the transmittance-dominant prefix), via the same
-    #                 static-shape device build at a shorter cap in
-    #                 natural lane order (no occupancy pre-march, no lane
-    #                 sort — order doesn't affect exactness and the view
-    #                 is consumed once) — so a drag re-runs one small
-    #                 compiled program per frame.  Measured @1080p/96^3:
+    #                 occupied samples per ray via the same device build
+    #                 at a shorter cap.  NOTE: with the reference's low
+    #                 default absorption (0.05) the front prefix carries
+    #                 only a small fraction of the in-scattered radiance,
+    #                 so drag frames render several times dimmer than the
+    #                 settled image ("coarse" fixes this); kept for the
+    #                 cases where the front prefix IS dominant (high
+    #                 absorption / dense media).  Measured @1080p/96^3:
     #                 cap 16 = 10.8 Mrays/s, cap 32 = 8.2 (vs 1.2 for the
     #                 default exact rebuild).
     motion_mode: str = "off"
     motion_cap: int = 16
+    motion_stride: int = 12
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)

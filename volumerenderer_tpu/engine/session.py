@@ -377,14 +377,42 @@ class Renderer:
             rows=H,
         )
     def _motion_steps(self, n: int, max_steps: int) -> RenderState:
-        """Camera-in-motion frames (config.motion_mode="truncated"): march
-        only the first motion_cap occupied samples per ray — the
-        transmittance-dominant front-to-back prefix — through the SAME
-        static-shape device build at a shorter cap, so every drag frame
-        re-runs one already-compiled program (no probe readback, no host
-        sort, no recompiles).  The settled camera takes the exact rebuild
-        on its next (key-stable) frame; the reference re-marches fully
-        every frame but on texture-unit hardware (src/main.cpp:620-934)."""
+        """Camera-in-motion frames (config.motion_mode != "off"): render
+        through a cheap degraded path — the SAME static-shape device build
+        at reduced work, so every drag frame re-runs one already-compiled
+        program (no probe readback, no host sort, no recompiles).  The
+        settled camera takes the exact rebuild on its next (key-stable)
+        frame; the reference re-marches fully every frame but on
+        texture-unit hardware (src/main.cpp:620-934).
+
+        "coarse" (preferred): march the full depth at motion_stride x the
+        configured step size through the PLAIN UNCACHED step — no view
+        build, no transposes (VERDICT r2 #3(a)).  Every march term is
+        step-weighted, so the coarser Riemann sum approximates the same
+        integral — drag frames keep the settled image's brightness.
+        Measured @1080p/96^3 (scripts/probe_motion_paths.py): uncached
+        stride 12 = 162 ms (12.8 Mrays/s, image mean within 7% of
+        exact) vs 234 ms for the same stride through the device build
+        (fixed build/transpose cost) and 194 ms-but-5.5x-dim for the
+        truncated prefix.  "truncated": first motion_cap occupied
+        samples only via the short-cap device build (dim at low
+        absorption; see StaticConfig docs)."""
+        if self.config.motion_mode == "coarse":
+            stride = max(1, int(self.config.motion_stride))
+            base = float(self.params.ray_marching_step_size)
+            params = self.params.replace(
+                ray_marching_step_size=np.float32(base * stride))
+            max_steps = required_march_steps(
+                self.grid, base * stride, self.config.max_march_steps)
+            self.view_exact = stride == 1
+            for _ in range(n):
+                self.state, self.lights = render_step(
+                    self.grid, params, self.state,
+                    algorithm=self.algorithm, config=self.config,
+                    max_steps=max_steps,
+                    gather_samples=self.gather_samples,
+                )
+            return self.state
         clip_box, view_steps = self._occupied_clip()
         steps = min(self.config.motion_cap, view_steps, max_steps)
         cell = max(

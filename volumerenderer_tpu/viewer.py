@@ -64,16 +64,16 @@ class InteractiveViewer:
         ("light_ray_step_size", 0.01, 10.0, "f"),
     ]
 
-    def __init__(self, renderer: Renderer, motion_mode: str = "truncated"):
+    def __init__(self, renderer: Renderer, motion_mode: str = "coarse"):
         # The interactive window is the one place a camera DRAG exists, so
-        # it defaults to the truncated motion path: while camera/march
+        # it defaults to the coarse motion path: while camera/march
         # parameters change between consecutive frames, each frame renders
-        # through one small already-compiled program (~10x the exact
-        # per-frame rebuild rate at 1080p) and the first settled frame
-        # rebuilds exactly (StaticConfig.motion_mode docs; the library
-        # Renderer default stays "off" — every frame exact — for headless
-        # and parity use).  Pass motion_mode=None to leave the renderer's
-        # configuration untouched.
+        # through one small already-compiled program (the full depth at a
+        # strided step — brightness matches the settled image) and the
+        # first settled frame rebuilds exactly (StaticConfig.motion_mode
+        # docs; the library Renderer default stays "off" — every frame
+        # exact — for headless and parity use).  Pass motion_mode=None to
+        # leave the renderer's configuration untouched.
         import dataclasses
 
         self.renderer = renderer
