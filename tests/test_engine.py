@@ -340,6 +340,42 @@ def test_motion_mode_coarse_preserves_brightness_and_settles_exact():
                                   np.asarray(r_ref.state.accum))
 
 
+def test_motion_mode_coarse_path_skips_rebake_and_settles_exact():
+    """PATH honors motion_mode="coarse": camera-drag frames render through
+    the uncached strided step (the baked PathView object is untouched
+    mid-drag — no per-frame re-bake), keep comparable brightness, and the
+    first key-stable frame re-bakes; after a refresh the settled session
+    matches a motion-off session bit-exactly."""
+    import dataclasses
+
+    def moved(mode):
+        r = small_renderer(algorithm=Algorithm.PATH)
+        r.config = dataclasses.replace(
+            r.config, motion_mode=mode, motion_stride=4)
+        r.step(1)
+        baked = r._path_view
+        r.set(camera_pos=[0.0, 1.0, -15.0])
+        r.refresh()
+        r.step(1)
+        if mode == "coarse":
+            assert r._path_view is baked  # no re-bake mid-drag
+        return r, np.asarray(r.image()), baked
+
+    r_ref, exact, _ = moved("off")
+    r_co, coarse, baked = moved("coarse")
+    assert np.isfinite(coarse).all() and coarse.max() > 0
+    ratio = coarse.mean() / exact.mean()
+    assert 0.4 < ratio < 2.5, ratio
+    # Settle: key repeats -> PathView re-baked for the new camera.
+    r_co.refresh()
+    r_co.step(1)
+    assert r_co._path_view is not baked
+    r_ref.refresh()
+    r_ref.step(1)
+    np.testing.assert_array_equal(np.asarray(r_co.state.accum),
+                                  np.asarray(r_ref.state.accum))
+
+
 def test_gather_eval_paired_matches_exact_render():
     """config.gather_eval="paired" renders Point/Sphere frames equal to the
     exact evaluation up to the documented reassociation tolerance (the

@@ -199,12 +199,8 @@ class Renderer:
         r = math.ceil(float(self.params.ray_marching_step_size))
         return r if 0 < r <= self.config.shadow_lut_max_radius else 0
 
-    def _current_path_view(self, max_steps: int, lut_radius: int):
-        """The baked PATH camera segment for the current scene — the
-        ViewCache dependency key plus every field the contribution prefix
-        bakes in (light position/intensity; scattering probability and
-        frame counter stay per-frame)."""
-        key = (
+    def _make_path_view_key(self, max_steps: int, lut_radius: int):
+        return (
             tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
             tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
             float(self.params.fov),
@@ -221,6 +217,13 @@ class Renderer:
             self.config.fidelity,
             self._grid_token,
         )
+
+    def _current_path_view(self, max_steps: int, lut_radius: int):
+        """The baked PATH camera segment for the current scene — the
+        ViewCache dependency key plus every field the contribution prefix
+        bakes in (light position/intensity; scattering probability and
+        frame counter stay per-frame)."""
+        key = self._make_path_view_key(max_steps, lut_radius)
         if key != self._path_view_key:
             self._path_view = None
             self._path_view_key = None
@@ -398,19 +401,35 @@ class Renderer:
         samples only via the short-cap device build (dim at low
         absorption; see StaticConfig docs)."""
         if self.config.motion_mode == "coarse":
+            import math
+
+            from .params import Fidelity
+
             stride = max(1, int(self.config.motion_stride))
             base = float(self.params.ray_marching_step_size)
+            coarse = base * stride
             params = self.params.replace(
-                ray_marching_step_size=np.float32(base * stride))
+                ray_marching_step_size=np.float32(coarse))
             max_steps = required_march_steps(
-                self.grid, base * stride, self.config.max_march_steps)
+                self.grid, coarse, self.config.max_march_steps)
             self.view_exact = stride == 1
+            kw = {}
+            if self.algorithm is Algorithm.PATH:
+                # PATH's per-step knobs re-derived for the coarse step:
+                # the shadow-probe LUT radius (usually 0 — a stride-12
+                # radius exceeds shadow_lut_max_radius, which just turns
+                # the LUT off) and the scatter-segment march cell.
+                r = math.ceil(coarse)
+                kw["shadow_lut_radius"] = (
+                    r if self.config.fidelity is Fidelity.REFERENCE
+                    and 0 < r <= self.config.shadow_lut_max_radius else 0)
+                kw["march_cell"] = max(1, int(8.0 // max(coarse, 1e-6)))
             for _ in range(n):
                 self.state, self.lights = render_step(
                     self.grid, params, self.state,
                     algorithm=self.algorithm, config=self.config,
                     max_steps=max_steps,
-                    gather_samples=self.gather_samples,
+                    gather_samples=self.gather_samples, **kw,
                 )
             return self.state
         clip_box, view_steps = self._occupied_clip()
@@ -468,6 +487,21 @@ class Renderer:
                 self.use_view_cache
                 and cache_bytes <= self.path_cache_budget_bytes
             ):
+                # Camera-drag frames skip the per-frame PathView re-bake
+                # the same way the gather algorithms skip the view
+                # rebuild (coarse mode only: the truncated short-cap
+                # build is a CompactView construct with no PATH
+                # counterpart).
+                key = self._make_path_view_key(max_steps, lut_r)
+                moving = (
+                    self.config.motion_mode == "coarse"
+                    and self._path_view_key is not None
+                    and key != self._path_view_key
+                    and key != getattr(self, "_last_path_step_key", None)
+                )
+                self._last_path_step_key = key
+                if moving:
+                    return self._motion_steps(n, max_steps)
                 cache = self._current_path_view(max_steps, lut_r)
                 remaining = n
                 while remaining > 0:
