@@ -340,6 +340,27 @@ def test_motion_mode_coarse_preserves_brightness_and_settles_exact():
                                   np.asarray(r_ref.state.accum))
 
 
+@pytest.mark.parametrize("algo", [Algorithm.SPHERE, Algorithm.RAY,
+                                  Algorithm.BEAM])
+def test_motion_mode_coarse_smoke_all_gather_algorithms(algo):
+    """Every gather algorithm renders sane drag frames through the coarse
+    motion path (POINT and PATH have dedicated brightness tests; this
+    pins the shared branch for the other three)."""
+    import dataclasses
+
+    r = small_renderer(algorithm=algo)
+    r.config = dataclasses.replace(r.config, motion_mode="coarse",
+                                   motion_stride=4)
+    r.step(1)
+    settled_view = r._view
+    r.set(camera_pos=[0.0, 1.0, -15.0])
+    r.refresh()
+    r.step(1)
+    img = np.asarray(r.image())
+    assert r._view is settled_view  # no exact rebuild mid-drag
+    assert np.isfinite(img).all() and img.max() > 0
+
+
 def test_motion_mode_coarse_path_skips_rebake_and_settles_exact():
     """PATH honors motion_mode="coarse": camera-drag frames render through
     the uncached strided step (the baked PathView object is untouched
