@@ -70,6 +70,28 @@ def main() -> None:
           f"{(time.perf_counter() - t0) / 4 * 1e3:.0f} ms/frame", flush=True)
     del r
 
+    # Interactive motion mode at asset scale: coarse drag frames render
+    # through the uncached strided step — also exercises the deep-z
+    # (nz=312) z-row tile budget on the plain build_view path.
+    import dataclasses
+
+    rm = Renderer(g, dataclasses.replace(config, motion_mode="coarse"),
+                  params, algorithm=Algorithm.POINT)
+    rm.step(1)
+    rm.set(fov=44.9); rm.step(1)
+    _ = float(jnp.sum(rm.state.accum))  # drag program compiled
+    t0 = time.perf_counter()
+    for i in range(4):
+        rm.set(fov=44.8 - 0.05 * i)
+        rm.step(1)
+    _ = float(jnp.sum(rm.state.accum))
+    dt = (time.perf_counter() - t0) / 4
+    print(f"POINT moving camera (motion_mode=coarse): "
+          f"{dt * 1e3:.0f} ms/frame ({W * H / dt / 1e6:.1f} Mrays/s), "
+          f"image mean {float(np.asarray(rm.image()).mean()):.4f}",
+          flush=True)
+    del rm
+
     # PATH: cached camera segment, steady frames
     rp = Renderer(g, config, params, algorithm=Algorithm.PATH)
     t0 = time.perf_counter()
