@@ -397,6 +397,36 @@ def test_motion_mode_coarse_path_skips_rebake_and_settles_exact():
                                   np.asarray(r_ref.state.accum))
 
 
+def test_motion_mode_resize_and_grid_swap_are_not_drags():
+    """resize() and a volume swap change the view key but are NOT camera
+    drags: the next frame must be exact (a coarse frame 1 would stay
+    mixed into the fresh accumulation forever).  Both sessions below
+    perform the same edits; the coarse-mode one must match the motion-off
+    one bit-exactly because the motion path never fires."""
+    import dataclasses
+
+    from volumerenderer_tpu.grid import procedural
+
+    def run(mode):
+        r = small_renderer(algorithm=Algorithm.POINT)
+        r.config = dataclasses.replace(r.config, motion_mode=mode,
+                                       motion_stride=4)
+        r.step(2)
+        r.resize(20, 12)
+        r.step(1)  # frame 1 of the resized accumulation: must be exact
+        a1 = np.asarray(r.state.accum).copy()
+        r.grid = procedural.fog_sphere(n=16, center_world=(0.0, 0.0, 10.0),
+                                       world_extent=20.0)
+        r.refresh()
+        r.step(1)  # frame 1 on the swapped volume: must be exact
+        return a1, np.asarray(r.state.accum)
+
+    a1_off, a2_off = run("off")
+    a1_co, a2_co = run("coarse")
+    np.testing.assert_array_equal(a1_co, a1_off)
+    np.testing.assert_array_equal(a2_co, a2_off)
+
+
 def test_gather_eval_paired_matches_exact_render():
     """config.gather_eval="paired" renders Point/Sphere frames equal to the
     exact evaluation up to the documented reassociation tolerance (the

@@ -87,6 +87,9 @@ class Renderer:
     def grid(self, new_grid: DenseGrid) -> None:
         self._grid = new_grid
         self._grid_token += 1
+        # A volume swap changes the view key but is not a camera drag:
+        # the next frame must be exact, not a coarse motion preview.
+        self._suppress_motion_once = True
 
     # ---- UI semantics ----
 
@@ -109,6 +112,10 @@ class Renderer:
         (src/main.cpp:936-956)."""
         self.config = dataclasses.replace(self.config, width=width, height=height)
         self.state = RenderState.create(height, width)
+        # A resize changes the view key but is not a camera drag: frame 1
+        # of the fresh accumulation must be exact, not a coarse motion
+        # preview (which would stay mixed into the average forever).
+        self._suppress_motion_once = True
 
     # ---- frame loop ----
 
@@ -498,7 +505,9 @@ class Renderer:
                     and self._path_view_key is not None
                     and key != self._path_view_key
                     and key != getattr(self, "_last_path_step_key", None)
+                    and not getattr(self, "_suppress_motion_once", False)
                 )
+                self._suppress_motion_once = False
                 self._last_path_step_key = key
                 if moving:
                     return self._motion_steps(n, max_steps)
@@ -539,7 +548,9 @@ class Renderer:
                 and self._view_key is not None
                 and key != self._view_key
                 and key != getattr(self, "_last_step_key", None)
+                and not getattr(self, "_suppress_motion_once", False)
             )
+            self._suppress_motion_once = False
             self._last_step_key = key
             if moving:
                 return self._motion_steps(n, max_steps)
