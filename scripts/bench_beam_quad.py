@@ -66,5 +66,7 @@ if __name__ == "__main__":
         ("tangent", 8, "exact"),
         ("tangent", 8, "paired"),
         ("tangent", 4, "paired"),
+        ("closed", 2, "exact"),
+        ("closed", 2, "paired"),
     ):
         bench(rule, nodes, eval_)

@@ -101,10 +101,13 @@ def main() -> None:
     run("Beam/VBL 1920x1080 analytic paired (16-node midpoint)", A.BEAM,
         1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired")
-    run("Beam/VBL 1920x1080 analytic paired (tangent-8, fast mode)",
+    run("Beam/VBL 1920x1080 analytic paired (tangent-8)",
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired", beam_quadrature_rule="tangent",
         beam_quadrature_nodes=8)
+    run("Beam/VBL 1920x1080 analytic paired (closed-form, fast mode)",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        segment_eval="paired", beam_quadrature_rule="closed")
     run("Beam/VBL 1920x1080 analytic tangent-8, exact node divides",
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         beam_quadrature_rule="tangent", beam_quadrature_nodes=8)

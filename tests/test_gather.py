@@ -591,6 +591,135 @@ def test_beam_tangent_kernel_matches_xla():
                                rtol=5e-4, atol=1e-5)
 
 
+def test_beam_closed_form_accuracy():
+    """The closed-rule antiderivative (rule="closed", one atan, no node
+    loop) is tighter than tangent-8 against a fine discretization across
+    every nonsingular closest-approach regime (q >= 1.02 r — the kernel
+    clamp is r*(1+1/64); inside that the true integral diverges and all
+    rules saturate)."""
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.gather import segment_sphere_quadrature_xla
+
+    rs = np.random.RandomState(81)
+    r = 0.3
+    n = 200
+    # q from 1.02 r up to ~2500 r, log-spaced; random segment geometry.
+    q = (r * 10.0 ** (rs.rand(n) * 3.4 + np.log10(1.02))).astype(np.float32)
+    ln = (rs.rand(n) * 20 + 0.5).astype(np.float32)
+    boff = (rs.rand(n) * 3 - 1) * ln  # includes projections outside [0, L]
+    vperp = rs.randn(n, 3).astype(np.float32)
+    vperp /= np.linalg.norm(vperp, axis=1, keepdims=True)
+    vdir = rs.randn(n, 3).astype(np.float32)
+    vdir -= (vdir * vperp).sum(1, keepdims=True) * vperp
+    vdir /= np.linalg.norm(vdir, axis=1, keepdims=True)
+    pos_from = q[:, None] * vperp - boff[:, None] * vdir
+    pos_to = pos_from + ln[:, None] * vdir
+    samples = jnp.zeros((1, 3), jnp.float32)
+    inten = jnp.ones((1,), jnp.float32)
+
+    def per_seg(nodes, rule):
+        outs = []
+        for k in range(n):
+            outs.append(float(segment_sphere_quadrature_xla(
+                samples, jnp.asarray(pos_from[k:k + 1]),
+                jnp.asarray(pos_to[k:k + 1]), inten,
+                jnp.asarray([True]), r, nodes, rule=rule)[0]))
+        return np.asarray(outs)
+
+    ref = per_seg(4096, "midpoint")
+    tan8 = per_seg(8, "tangent")
+    closed = per_seg(2, "closed")
+    denom = np.maximum(np.abs(ref), 1e-12)
+    err_tan = np.abs(tan8 - ref) / denom
+    err_closed = np.abs(closed - ref) / denom
+    # Both rules sit at the f32 noise floor (~1e-7) for q >> r; the
+    # discriminating regime is near the sphere (q < 2r), where tangent-8
+    # degrades to ~1e-3 and the closed form stays ~2e-5 (probe run:
+    # q/r in [1.2, 2) tan8 max 1.2e-3 vs closed max 5.2e-5).
+    near = q < 2.0 * r
+    assert near.sum() >= 10
+    assert (np.percentile(err_closed[near], 95)
+            <= np.percentile(err_tan[near], 95))
+    assert err_closed.max() <= max(err_tan.max(), 1e-5)
+    # Absolute bar across ALL regimes incl. guard-adjacent, where the
+    # midpoint-4096 reference itself converges slowly (the near-singular
+    # integrand limits agreement, not the closed form).
+    assert err_closed.max() < 5e-4
+
+
+def test_beam_closed_kernel_matches_xla():
+    """Pallas closed-rule kernels (both layouts) == the XLA closed-form
+    oracle.  rtol is looser than the tangent test's: the kernel's
+    polynomial _atan error (~2e-5 in angle) is amplified by the
+    (q^2 - r^2)^(-3/2) factor for guard-adjacent samples."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(82)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    w = _far_from_guard(px, py, pz, pos_from, pos_to, 0.25)
+    want = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                           impl="xla", sphere_radius=0.25, quad_nodes=2,
+                           quad_rule="closed")
+    got = gather_segments(px, py, pz, w, pos_from, pos_to, inten, valid,
+                          impl="vpu_interpret", sphere_radius=0.25,
+                          quad_nodes=2, quad_rule="closed")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=1e-5)
+
+    Cp, Rc = 32, 1024
+    pxl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pyl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pzl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    wl = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    wl = wl * _far_from_guard(pxl, pyl, pzl, pos_from, pos_to, 0.25)
+    want_l = gather_segments(pxl, pyl, pzl, wl, pos_from, pos_to, inten,
+                             valid, impl="xla", sphere_radius=0.25,
+                             quad_nodes=2, quad_rule="closed",
+                             layout="lanes")
+    got_l = gather_segments(pxl, pyl, pzl, wl, pos_from, pos_to, inten,
+                            valid, impl="vpu_interpret", sphere_radius=0.25,
+                            quad_nodes=2, quad_rule="closed",
+                            layout="lanes")
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=3e-3, atol=1e-4)
+
+
+def test_beam_closed_paired_matches_exact():
+    """Paired evaluation of the closed rule's two interface nodes == the
+    per-node divide, to reassociation error (the requested quad_nodes is
+    ignored for the closed rule — effective_quad_nodes pins 2)."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(83)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+    valid = jnp.arange(6) < 5
+    # quad_nodes=16 on purpose: the closed rule must ignore it.
+    exact = gather_segments(
+        px, py, pz, w, pos_from, pos_to, inten, valid,
+        sphere_radius=0.25, quad_nodes=16, quad_rule="closed",
+        impl="vpu_interpret")
+    fast = gather_segments(
+        px, py, pz, w, pos_from, pos_to, inten, valid,
+        sphere_radius=0.25, quad_nodes=16, quad_rule="closed",
+        impl="vpu_interpret", paired=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_beam_tangent_paired_matches_exact():
     """Paired tangent-node evaluation (weights ride the numerators, one
     divide per 4 nodes) == per-node divide, to reassociation error,

@@ -207,8 +207,17 @@ class StaticConfig:
     #                integrand is near-constant (q/(q - r cos theta)^2).
     #                Measured strictly more accurate than midpoint-16 at
     #                8 nodes in every closest-approach regime, at ~half
-    #                the per-(sample, light) cost — the fast Beam setting
-    #                is (rule="tangent", nodes=8).
+    #                the per-(sample, light) cost.
+    #   "closed"   — EXACT antiderivative of the same integrand, one atan
+    #                per (sample, light), no node loop (quad nodes
+    #                ignored; ops/pallas/gather_vpu._quad_nodes_nq
+    #                "closed" for the derivation).  <= 2.9e-6 relative vs
+    #                a 2M-node f64 reference for closest approach
+    #                >= 1.02 r (scripts/probe_closed_acc.py; the kernel's
+    #                polynomial atan adds ~2e-5); inside that the true
+    #                integral diverges and the value saturates — the
+    #                regime every rule is approximate in.  The fast Beam
+    #                setting (cheaper AND tighter than tangent-8).
     beam_quadrature_rule: str = "midpoint"
     # PATH scatter segments below this many total rays skip the
     # compaction plumbing entirely (the fixed cost outweighs the gather

@@ -244,8 +244,11 @@ def segment_sphere_quadrature_xla(
 ):
     """Quadrature of the VBL sphere-light integrand, XLA reference path
     (matches ops/pallas/gather_vpu._segment_sphere_kernel): composite
-    midpoint in s, or Gauss-Legendre in the tangent-transformed variable
-    (rule="tangent"; see gather_vpu._quad_nodes_nq for the derivation)."""
+    midpoint in s, Gauss-Legendre in the tangent-transformed variable
+    (rule="tangent"), or the exact closed-form antiderivative
+    (rule="closed"; see gather_vpu._quad_nodes_nq for both derivations —
+    this oracle uses exact transcendentals where the kernel uses its
+    polynomial _atan)."""
     seg = pos_to - pos_from
     length = jnp.linalg.norm(seg, axis=-1)
     safe = jnp.where(length > 0, length, 1.0)
@@ -254,6 +257,42 @@ def segment_sphere_quadrature_xla(
     d = samples[:, None, :] - pos_from[None, :, :]
     b = jnp.sum(d * u[None, :, :], axis=-1)
     c = jnp.sum(d * d, axis=-1)
+    if rule == "closed":
+        r = jnp.float32(radius)
+        cross = jnp.cross(d, u[None, :, :])
+        q2 = jnp.maximum(jnp.sum(cross * cross, axis=-1), GUARD)
+        qc = jnp.maximum(jnp.sqrt(q2), r * jnp.float32(1.015625))
+        qc2 = qc * qc
+        ll = length[None, :]
+        lb = ll - b
+        d02 = qc2 + b * b
+        d12 = qc2 + lb * lb
+        id0 = jax.lax.rsqrt(d02)
+        id1 = jax.lax.rsqrt(d12)
+        c0 = qc * id0
+        s0 = -b * id0
+        c1 = qc * id1
+        s1 = lb * id1
+        sindt = qc * ll * id0 * id1
+        direct = lb * id1 + b * id0
+        den_c = lb * (d02 * id0) - b * (d12 * id1)
+        conj = (
+            qc2 * ll * (ll - 2.0 * b) * id0 * id1
+            / jnp.where(den_c == 0.0, 1e-30, den_c)
+        )
+        ds = jnp.where((b >= 0.0) & (b <= ll), direct, conj)
+        A = (qc - r) * (qc + r)
+        irA = jax.lax.rsqrt(A)
+        kappa = (qc + r) * irA
+        n_r = (r * (irA * irA)) * (qc * ds - r * sindt)
+        q_r = (qc - r * c0) * (qc - r * c1)
+        numt = kappa * (ds + sindt)
+        dent = (1.0 + c0) * (1.0 + c1) + (kappa * kappa) * (s1 * s0)
+        ang = jnp.arctan(numt / jnp.where(dent == 0.0, 1e-30, dent))
+        ang = jnp.where(dent < 0.0, ang + jnp.float32(3.1415927410125732),
+                        ang)
+        total = n_r / q_r + (2.0 * qc) * (irA * irA * irA) * ang
+        return jnp.sum(ii[None, :] * (qc * total), axis=-1)
     if rule == "tangent":
         from .pallas.gather_vpu import _gauss01
 
@@ -390,9 +429,10 @@ def gather_segments(
 
     ``sphere_radius=None`` -> closed-form point-sub-light line integral;
     otherwise the ``quad_nodes``-point sphere-light quadrature under
-    ``quad_rule`` ("midpoint" in s, or Gauss-Legendre in the "tangent"-
-    transformed variable — strictly more accurate at half the nodes; see
-    pallas/gather_vpu._quad_nodes_nq).
+    ``quad_rule`` ("midpoint" in s, Gauss-Legendre in the "tangent"-
+    transformed variable — strictly more accurate at half the nodes — or
+    the exact "closed"-form antiderivative, which ignores ``quad_nodes``;
+    see pallas/gather_vpu._quad_nodes_nq).
     ``layout`` as in gather_planes: "slots" -> (R, C) weighted radiance
     (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums.
     ``paired=True``: one divide per 4 quadrature nodes in the VBL kernels

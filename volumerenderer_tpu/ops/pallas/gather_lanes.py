@@ -437,11 +437,19 @@ def gather_segments_analytic_lanes(
         u[:, 0], u[:, 1], u[:, 2], length, ii,
     )
     L = pos_from.shape[0]
-    nodes = None if sphere_radius is None else quad_nodes
+    from .gather_vpu import effective_quad_nodes
+
+    nodes = (
+        None if sphere_radius is None
+        else effective_quad_nodes(quad_rule, quad_nodes)
+    )
+    closed = sphere_radius is not None and quad_rule == "closed"
     cost = pl.CostEstimate(
-        flops=(25 if nodes is None else 15 + 7 * nodes) * Cp * Rc * max(L, 1),
+        flops=(25 if nodes is None else 15 + (50 if closed else 7 * nodes))
+        * Cp * Rc * max(L, 1),
         bytes_accessed=4 * Cp * Rc * 4,
-        transcendentals=(2 if nodes is None else nodes) * Cp * Rc * L,
+        transcendentals=(2 if nodes is None else (1 if closed else nodes))
+        * Cp * Rc * L,
     )
     return _call(
         functools.partial(_analytic_kernel, nodes=nodes, paired=paired,
