@@ -168,6 +168,38 @@ def test_path_sorted_chunks_are_exact(cell):
     np.testing.assert_array_equal(srt, uns)
 
 
+@pytest.mark.parametrize("with_lut", [False, True])
+def test_path_fast_light_term_probe_is_close(with_lut):
+    """The divide/sqrt-free light-term formulation (a PROBE for
+    scripts/bench_light_eval.py — measured perf-neutral under the shadow
+    LUT, so deliberately NOT a config mode) evaluates the same term to
+    rounding level.  Light placed inside an occupied voxel so the LUT
+    neighborhood is non-trivial."""
+    g, params, _ = _bigger_scene()
+    vox = np.asarray(g.voxels)
+    occ = np.argwhere(vox > 0.05)
+    lw = np.asarray(g.index_to_world(
+        jnp.asarray(occ[len(occ) // 2][None, :], jnp.float32) + 0.5))[0]
+    params = params.replace(
+        light_source_world_pos=jnp.asarray(lw, jnp.float32),
+        ray_marching_step_size=jnp.float32(0.77),
+        absorption_coefficient=jnp.float32(0.13),
+    )
+    light = g.world_to_index(params.light_source_world_pos)
+    lut = None
+    if with_lut:
+        base, vals = path._shadow_lut(g, light, 1)
+        lut = (base, vals, 1)
+    rs = np.random.RandomState(7)
+    lo = np.asarray(g.bbox_min, np.float32)
+    ext = np.asarray(g.bbox_max, np.float32) + 1.0 - lo
+    pos = jnp.asarray(rs.rand(2048, 3) * ext + lo, jnp.float32)
+    exact = np.asarray(path._light_term_reference(g, pos, light, params, lut))
+    fast = np.asarray(
+        path._light_term_reference_fast(g, pos, light, params, lut))
+    np.testing.assert_allclose(fast, exact, rtol=5e-6, atol=0)
+
+
 def test_path_shadow_lut_is_exact():
     """The shadow-probe LUT is bit-equal to the gathered probe (same
     floor(probe) voxel, R >= ceil(step))."""

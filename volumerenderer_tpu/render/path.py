@@ -148,6 +148,45 @@ def _light_term_reference(grid, sample_local, light_local, params, lut=None):
     )
 
 
+def _light_term_reference_fast(grid, sample_local, light_local, params,
+                               lut=None):
+    """Divide/sqrt-free evaluation of the SAME reference light term —
+    a PROBE kept for `scripts/bench_light_eval.py`, NOT wired to any
+    config: measured perf-NEUTRAL at frame level (35.85 vs 35.90
+    ms/frame at 256^2 on v5e), because with the shadow LUT active the
+    light term's cost is the 27-way select, not the divides/sqrt this
+    removes.  (The earlier `probe_walk_chunk_asset.py` "light=const
+    saves 5.3 ms/chunk" delta was measured with ``lut=None`` — i.e. it
+    was mostly the scattered probe FETCH the production LUT already
+    eliminates, not arithmetic.)
+
+    One ``rsqrt(|d|^2)`` yields both the unit direction (``d * inv``) and
+    the length (``|d|^2 * inv``); the step count divides by a hoisted
+    reciprocal; and when the shadow LUT applies, the 27-way select picks
+    the precomputed exp argument ``val*absorption*step`` instead of the
+    raw density.  Deviation from "exact" is rounding-level only
+    (measured 1.1e-7 max relative, 79/4096 random sites differing at
+    step 0.77): the probe point moves by ulps and ``n_steps`` can differ
+    by 1 when ``length/step`` lands exactly on an integer.
+    """
+    ray_local = light_local - sample_local
+    l2 = jnp.sum(ray_local * ray_local, axis=-1)
+    inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-30))
+    length = l2 * inv
+    step = params.ray_marching_step_size
+    n_f = jnp.floor(length * (1.0 / step))
+    probe = light_local + ray_local * (inv * step)[..., None]
+    a_scale = params.absorption_coefficient * step
+    if lut is None:
+        arg = grid.sample_nearest(probe) * a_scale
+    else:
+        base, vals, radius = lut
+        arg = _lut_lookup(probe, base, vals * a_scale, radius)
+    return (params.photon_initial_intensity / 10000.0) * jnp.exp(
+        -arg * n_f
+    )
+
+
 def _light_term_corrected(grid, sample_local, light_local, params, n_shadow: int):
     """Proper transmittance along the light->sample segment."""
     seg = sample_local - light_local
