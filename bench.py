@@ -58,6 +58,21 @@ def main() -> None:
 
     note("claiming TPU terminal (axon pool wait: commonly 2-10 min)...")
     t_claim = time.perf_counter()
+
+    # Heartbeat while the (uninterruptible) first readback waits on the
+    # pool: if the driver's timeout fires mid-claim, stderr shows the wait
+    # was pool-side, not a hang in our code (an r3 rehearsal saw >10 min
+    # of pool wait right after several back-to-back TPU sessions).
+    import threading
+
+    claimed = threading.Event()
+
+    def _heartbeat():
+        while not claimed.wait(30.0):
+            note(f"still claiming ({time.perf_counter() - t_claim:.0f}s "
+                 "in pool wait)...")
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
     attempt = 0
     while True:
         try:
@@ -80,6 +95,7 @@ def main() -> None:
             except Exception:
                 pass
             time.sleep(30)
+    claimed.set()
     claim_s = time.perf_counter() - t_claim
     note(f"terminal claimed in {claim_s:.0f}s")
 
