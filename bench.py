@@ -74,28 +74,33 @@ def main() -> None:
 
     threading.Thread(target=_heartbeat, daemon=True).start()
     attempt = 0
-    while True:
-        try:
-            _ = float(jnp.zeros((), jnp.float32))
-            break
-        except RuntimeError as e:
-            # Pool-exhausted/transient UNAVAILABLE from the axon backend
-            # init (observed: a ~25 min wait ending in "TPU backend
-            # setup/compile error (Unavailable)").  Clear the failed
-            # backend and retry a few times rather than losing the round's
-            # graded artifact to a transient outage.
-            attempt += 1
-            note(f"backend init failed (attempt {attempt}): {str(e)[:110]}")
-            if attempt >= 3 or time.perf_counter() - t_claim > 2400:
-                raise
+    try:
+        while True:
             try:
-                from jax.extend.backend import clear_backends
+                _ = float(jnp.zeros((), jnp.float32))
+                break
+            except RuntimeError as e:
+            # Pool-exhausted/transient UNAVAILABLE from the axon backend
+                # init (observed: a ~25 min wait ending in "TPU backend
+                # setup/compile error (Unavailable)").  Clear the failed
+                # backend and retry a few times rather than losing the
+                # round's graded artifact to a transient outage.
+                attempt += 1
+                note(f"backend init failed (attempt {attempt}):"
+                     f" {str(e)[:110]}")
+                if attempt >= 3 or time.perf_counter() - t_claim > 2400:
+                    raise
+                try:
+                    from jax.extend.backend import clear_backends
 
-                clear_backends()
-            except Exception:
-                pass
-            time.sleep(30)
-    claimed.set()
+                    clear_backends()
+                except Exception:
+                    pass
+                time.sleep(30)
+    finally:
+        # Stop the heartbeat even when the claim loop raises, so the
+        # failure traceback is the last thing on stderr (ADVICE r3).
+        claimed.set()
     claim_s = time.perf_counter() - t_claim
     note(f"terminal claimed in {claim_s:.0f}s")
 

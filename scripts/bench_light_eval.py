@@ -66,6 +66,10 @@ else:
 
 
 def fast_light_term(grid, pos, light_local, params, config, lut, n_shadow):
+    # The fast probe implements REFERENCE semantics only; fail loudly if a
+    # future edit points this script at a CORRECTED-fidelity config, which
+    # would silently compare mismatched semantics (ADVICE r3).
+    assert config.fidelity is path_mod.Fidelity.REFERENCE, config.fidelity
     return path_mod._light_term_reference_fast(
         grid, pos, light_local, params, lut)
 

@@ -168,6 +168,14 @@ def _light_term_reference_fast(grid, sample_local, light_local, params,
     (measured 1.1e-7 max relative, 79/4096 random sites differing at
     step 0.77): the probe point moves by ulps and ``n_steps`` can differ
     by 1 when ``length/step`` lands exactly on an integer.
+
+    Boundary caveat (ADVICE r3): when ``step == lut radius`` exactly (the
+    production pairing is step=1.0 -> radius 1), rsqrt rounding can put
+    ``|probe - light|`` a few ulps OUTSIDE the LUT validity ball, and
+    ``_lut_lookup`` would return density 0 instead of the true neighbor —
+    a one-cell deviation, not rounding-level.  The probe offset is
+    therefore renormalized below so ``|probe - light| <= step`` holds
+    exactly under the LUT path.
     """
     ray_local = light_local - sample_local
     l2 = jnp.sum(ray_local * ray_local, axis=-1)
@@ -175,7 +183,11 @@ def _light_term_reference_fast(grid, sample_local, light_local, params,
     length = l2 * inv
     step = params.ray_marching_step_size
     n_f = jnp.floor(length * (1.0 / step))
-    probe = light_local + ray_local * (inv * step)[..., None]
+    # |ray_local * inv| can exceed 1 by ulps; one divide-free Newton
+    # correction keeps |probe - light| <= step (the LUT validity ball).
+    u2 = l2 * inv * inv
+    scale = inv * step * jnp.where(u2 > 1.0, 2.0 - u2, 1.0)
+    probe = light_local + ray_local * scale[..., None]
     a_scale = params.absorption_coefficient * step
     if lut is None:
         arg = grid.sample_nearest(probe) * a_scale
