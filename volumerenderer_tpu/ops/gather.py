@@ -248,7 +248,12 @@ def segment_sphere_quadrature_xla(
     (rule="tangent"), or the exact closed-form antiderivative
     (rule="closed"; see gather_vpu._quad_nodes_nq for both derivations —
     this oracle uses exact transcendentals where the kernel uses its
-    polynomial _atan)."""
+    polynomial _atan).  The closed branch here deliberately keeps the
+    UNrescaled normalized-trig antiderivative (id0/id1, c0/s0/c1/s1): the
+    kernel's round-4 d0*d1-rescaled evaluation must agree with it to
+    polynomial-atan tolerance, so the oracle doubles as an independent
+    check of that algebra (tests/test_gather.py::
+    test_beam_closed_kernel_matches_xla)."""
     seg = pos_to - pos_from
     length = jnp.linalg.norm(seg, axis=-1)
     safe = jnp.where(length > 0, length, 1.0)

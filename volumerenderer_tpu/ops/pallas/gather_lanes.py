@@ -255,7 +255,6 @@ def _analytic_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref, ux_ref,
             dy = py - ay_ref[k]
             dz = pz - az_ref[k]
             b = dx * ux_ref[k] + dy * uy_ref[k] + dz * uz_ref[k]
-            c = dx * dx + dy * dy + dz * dz
             ll = ll_ref[k]
             ii = ii_ref[k]
             if nodes is None:
@@ -268,7 +267,7 @@ def _analytic_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref, ux_ref,
 
             node_nq, scale = _quad_nodes_nq(
                 rule, nodes, (dx, dy, dz),
-                (ux_ref[k], uy_ref[k], uz_ref[k]), b, c, ll, radius,
+                (ux_ref[k], uy_ref[k], uz_ref[k]), b, ll, radius,
             )
             total = _node_sum(node_nq, nodes, paired, acc)
             return acc + ii * scale * total

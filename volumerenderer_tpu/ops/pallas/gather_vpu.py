@@ -131,6 +131,32 @@ def _atan(x):
     return jnp.where(x < 0.0, -p, p)
 
 
+def _atan_pos_ratio(num, den):
+    """The angle in [0, pi] whose tangent is ``num / den``, for num >= 0 —
+    i.e. ``atan(num/den) + pi * (den < 0)`` — with ONE divide: the
+    quotient and _atan's |x| > 1 range-reduction divide fold into a
+    min/max ratio (z = min/max <= 1 by construction, so no reduction
+    branch remains).  Same minimax polynomial as _atan (|err| < 2e-5).
+
+    Both kernel call sites satisfy num >= 0 exactly: the VRL subtended
+    angle's numerator is L*q, and the VBL closed form's is
+    kappa*(ds + qL) with ds >= 0 in both its branches (each a sum of
+    same-sign terms)."""
+    ad = jnp.abs(den)
+    inv = num > ad
+    lo = jnp.minimum(num, ad)
+    hi = jnp.maximum(num, ad)
+    z = lo / jnp.maximum(hi, 1e-30)
+    z2 = z * z
+    p = z * (
+        0.9998660
+        + z2
+        * (-0.3302995 + z2 * (0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351)))
+    )
+    p = jnp.where(inv, jnp.float32(1.5707963267948966) - p, p)
+    return jnp.where(den < 0.0, jnp.float32(_PI_F32) - p, p)
+
+
 def _cos(x):
     """Polynomial cos for the VPU on (-pi/2, pi/2) — the full range of the
     tangent-substitution node angles (theta = atan(.) is always inside it).
@@ -180,13 +206,14 @@ def _subtended_angle(b, q2, qd, ll):
     instead of atan((L-b)/q) - atan(-b/q): for far segments subtending a
     small angle the two ~2e-5-error polynomial atans cancel
     catastrophically, and dt scales the whole contribution.  One _atan
-    instead of two.  Denominator <= 0 means dt > pi/2 (numerator >= 0)."""
+    instead of two.  Denominator <= 0 means dt > pi/2 (numerator >= 0) —
+    exactly _atan_pos_ratio's contract, which also folds the quotient and
+    range-reduction divides into one."""
     den = q2 - b * (ll - b)
-    ad = _atan(ll * qd / jnp.where(den == 0.0, 1e-30, den))
-    return jnp.where(den >= 0.0, ad, ad + jnp.float32(_PI_F32))
+    return _atan_pos_ratio(ll * qd, den)
 
 
-def _quad_nodes_nq(rule: str, nodes: int, d, u, b, c, ll, radius):
+def _quad_nodes_nq(rule: str, nodes: int, d, u, b, ll, radius):
     """Per-node (numerator, denominator) generator + integral scale for
     the VBL sphere-light quadrature rules (shared by the slot and lane
     kernels).  Node j contributes n_j/q_j; guarded and padding (j >= nodes)
@@ -208,6 +235,12 @@ def _quad_nodes_nq(rule: str, nodes: int, d, u, b, c, ll, radius):
     near-singular set the mode is approximate under every rule).
     """
     if rule == "midpoint":
+        # Only this rule needs |d|^2; the tangent/closed rules build
+        # everything from the cancellation-free |d x u|^2, so c is
+        # computed here rather than burned in every caller's seg body.
+        dx, dy, dz = d
+        c = dx * dx + dy * dy + dz * dz
+
         def node_nq(j):
             if j >= nodes:
                 return jnp.float32(0.0), jnp.float32(1.0)
@@ -283,40 +316,41 @@ def _quad_nodes_nq(rule: str, nodes: int, d, u, b, c, ll, radius):
         # (2e-5) dominates in practice — ~20x tighter than tangent-8's
         # near-sphere tail and cheaper than tangent-4.
         #
-        # Fits the node interface as exactly TWO nodes — (n_R, e0 e1)
+        # Round-4 rescaling: every endpoint trig identity is multiplied
+        # through by d0 d1 > 0, which turns the id0/id1 = rsqrt setup and
+        # its normalized c0/s0/c1/s1 into direct sqrt products —
+        # atan-argument and sign logic are unchanged (numt/dent is scale-
+        # invariant), the rational part rides the node denominator, and
+        # ~26 VPU ops/(sample, segment) disappear (probe_beam_roofline).
+        # ds here is ds_old * d0 d1; sl = sin(dt) * d0 d1 = q L exactly.
+        #
+        # Fits the node interface as exactly TWO nodes — (n_R, q_R)
         # rational part + (T, 1) atan part — so scale = q and the node
         # loop, pairing, and both kernel layouts are reused unchanged
         # (callers force nodes=2 via effective_quad_nodes).
         q2 = _cross_q2(d, u)
-        iq = jax.lax.rsqrt(q2)
-        qc = jnp.maximum(q2 * iq, radius * jnp.float32(1.015625))
+        qc = jnp.maximum(jnp.sqrt(q2), radius * jnp.float32(1.015625))
         qc2 = qc * qc
         lb = ll - b
-        d02 = qc2 + b * b
-        d12 = qc2 + lb * lb
-        id0 = jax.lax.rsqrt(d02)
-        id1 = jax.lax.rsqrt(d12)
-        c0 = qc * id0
-        s0 = -b * id0
-        c1 = qc * id1
-        s1 = lb * id1
-        sindt = qc * ll * id0 * id1
-        direct = lb * id1 + b * id0
-        den_c = lb * (d02 * id0) - b * (d12 * id1)
+        d0 = jnp.sqrt(qc2 + b * b)
+        d1 = jnp.sqrt(qc2 + lb * lb)
+        p0 = lb * d0
+        p1 = b * d1
+        den_c = p0 - p1
         conj = (
-            qc2 * ll * (ll - 2.0 * b) * id0 * id1
+            qc2 * ll * (ll - 2.0 * b)
             / jnp.where(den_c == 0.0, 1e-30, den_c)
         )
-        ds = jnp.where((b >= 0.0) & (b <= ll), direct, conj)
+        ds = jnp.where((b >= 0.0) & (b <= ll), p0 + p1, conj)
+        sl = qc * ll
         A = (qc - radius) * (qc + radius)
         irA = jax.lax.rsqrt(A)
         kappa = (qc + radius) * irA
-        n_r = (radius * (irA * irA)) * (qc * ds - radius * sindt)
-        q_r = (qc - radius * c0) * (qc - radius * c1)
-        numt = kappa * (ds + sindt)
-        dent = (1.0 + c0) * (1.0 + c1) + (kappa * kappa) * (s1 * s0)
-        ang = _atan(numt / jnp.where(dent == 0.0, 1e-30, dent))
-        ang = jnp.where(dent < 0.0, ang + jnp.float32(_PI_F32), ang)
+        n_r = radius * (ds - radius * ll)
+        q_r = (A * qc) * ((d0 - radius) * (d1 - radius))
+        numt = kappa * (ds + sl)
+        dent = (d0 + qc) * (d1 + qc) - (kappa * kappa) * (b * lb)
+        ang = _atan_pos_ratio(numt, dent)
         t_term = (2.0 * qc) * (irA * irA * irA) * ang
 
         def node_nq(j):
@@ -417,10 +451,9 @@ def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
             dy = py - ay
             dz = pz - az
             b = dx * ux + dy * uy + dz * uz
-            c = dx * dx + dy * dy + dz * dz
 
             node_nq, scale = _quad_nodes_nq(
-                rule, nodes, (dx, dy, dz), (ux, uy, uz), b, c, ll, radius
+                rule, nodes, (dx, dy, dz), (ux, uy, uz), b, ll, radius
             )
             total = _node_sum(node_nq, nodes, paired, acc)
             return acc + ii * scale * total
