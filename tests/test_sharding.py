@@ -42,7 +42,9 @@ def _single_device_frames(g, params, config, algorithm, n_frames=2):
 
 
 @pytest.mark.parametrize(
-    "algorithm", [Algorithm.POINT, Algorithm.RAY, Algorithm.PATH]
+    "algorithm",
+    [Algorithm.POINT, Algorithm.SPHERE, Algorithm.RAY, Algorithm.BEAM,
+     Algorithm.PATH],
 )
 @pytest.mark.slow
 def test_row_sharded_matches_single_device(algorithm):
@@ -61,20 +63,26 @@ def test_row_sharded_matches_single_device(algorithm):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
-def test_light_sharded_matches_single_device():
+@pytest.mark.parametrize(
+    "algorithm", [Algorithm.POINT, Algorithm.RAY, Algorithm.BEAM]
+)
+def test_light_sharded_matches_single_device(algorithm):
+    """2-D (rows x lights) mesh: light-shard masking must compose with
+    every light model — the point gather AND the segment algorithms, whose
+    per-device expansion/compaction packs only that device's shard."""
     g, params, config = scene()
     steps = required_march_steps(g, 1.0, config.max_march_steps)
-    # Single-device frame 1 (POINT).
+    # Single-device frame 1.
     state = RenderState.create(config.height, config.width)
     state1, _ = render_step(
-        g, params, state, algorithm=Algorithm.POINT, config=config,
+        g, params, state, algorithm=algorithm, config=config,
         max_steps=steps)
     want = np.asarray(state1.accum)
 
     mesh = sharding.make_mesh(jax.devices()[:8], lights_axis=4)  # 2 x 4 mesh
     state = RenderState.create(config.height, config.width)
     frame = sharding.light_sharded_radiance(
-        g, params, state, algorithm=Algorithm.POINT, config=config,
+        g, params, state, algorithm=algorithm, config=config,
         max_steps=steps, mesh=mesh)
     np.testing.assert_allclose(np.asarray(frame), want, rtol=1e-4, atol=1e-6)
 
@@ -142,6 +150,69 @@ def test_mesh_renderer_batched_dispatch_matches_per_frame():
         np.asarray(batched.state.accum), np.asarray(per_frame.state.accum),
         rtol=1e-5, atol=1e-7)
     assert int(batched.state.frame_count) == 8
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.POINT, Algorithm.PATH])
+@pytest.mark.slow
+def test_mesh_renderer_motion_coarse_matches_single_chip(algorithm):
+    """Drag semantics on the mesh (VERDICT r3 #7): with
+    motion_mode="coarse", a camera edit between consecutive steps renders
+    the drag frame through the strided uncached sharded step, and the
+    first key-stable frame settles exact — both bit-matching the
+    single-chip Renderer's coarse path at every stage."""
+    import dataclasses
+
+    from volumerenderer_tpu.engine.session import Renderer
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    config = dataclasses.replace(config, motion_mode="coarse",
+                                 motion_stride=4)
+    moved = params.replace(camera_pos=jnp.float32([2.0, 1.0, -16.0]))
+
+    r = Renderer(g, config, params, algorithm=algorithm)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    mr = MeshRenderer(g, mesh, config, params, algorithm)
+
+    r.step(1)
+    mr.step(1)
+    np.testing.assert_allclose(np.asarray(mr.state.accum),
+                               np.asarray(r.state.accum),
+                               rtol=1e-4, atol=1e-6)
+
+    # Drag frame: params changed since the cached build and since the
+    # previous step -> both renderers take the coarse strided path.
+    r.set(camera_pos=np.asarray(moved.camera_pos))
+    mr.params = moved
+    r.step(1)
+    mr.step(1)
+    assert not r.view_exact  # single-chip coarse path actually taken
+    np.testing.assert_allclose(np.asarray(mr.state.accum),
+                               np.asarray(r.state.accum),
+                               rtol=1e-4, atol=1e-6)
+
+    # Key-stable frame: both settle back to the exact rebuild.
+    r.step(1)
+    mr.step(1)
+    if algorithm is Algorithm.PATH:
+        assert mr._path_view is not None
+    else:
+        assert r.view_exact
+        assert mr._view is not None and mr._view_key is not None
+    np.testing.assert_allclose(np.asarray(mr.state.accum),
+                               np.asarray(r.state.accum),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_renderer_rejects_truncated_motion():
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+    import dataclasses
+
+    g, params, config = scene()
+    config = dataclasses.replace(config, motion_mode="truncated")
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="coarse"):
+        MeshRenderer(g, mesh, config, params, Algorithm.POINT)
 
 
 def test_mesh_renderer_rebakes_view_on_param_edit():

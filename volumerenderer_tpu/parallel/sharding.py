@@ -62,11 +62,16 @@ def _device_render(
     local_rows,
     max_steps,
     gather_samples,
+    shadow_lut_radius=0,
+    march_cell=1,
 ):
     """Per-device body (inside shard_map): render this device's row band.
 
     The FULL config goes through untouched — render_frame's projection math
     must see the global image height; num_rows selects the band.
+    ``shadow_lut_radius``/``march_cell`` reach PATH's uncached frame so the
+    sharded step can match the single-chip step's per-step knobs exactly
+    (the coarse motion path re-derives both for the strided step size).
     """
     row0 = jax.lax.axis_index("rows") * local_rows
 
@@ -74,6 +79,7 @@ def _device_render(
         frame = path_mod.render_frame(
             grid, params, frame_count, config, max_steps,
             row_start=row0, num_rows=local_rows,
+            shadow_lut_radius=shadow_lut_radius, march_cell=march_cell,
         )
     else:
         # Deterministic photon walk: every device computes the identical
@@ -98,6 +104,7 @@ def _device_render(
     jax.jit,
     static_argnames=(
         "algorithm", "config", "max_steps", "gather_samples", "mesh",
+        "shadow_lut_radius", "march_cell",
     ),
     donate_argnames=("state",),
 )
@@ -111,6 +118,8 @@ def sharded_render_step(
     max_steps: int,
     mesh: Mesh,
     gather_samples: int = 0,
+    shadow_lut_radius: int = 0,
+    march_cell: int = 1,
 ) -> RenderState:
     """One multi-chip frame: accum sharded by rows, grid/params replicated."""
     n_rows_shards = mesh.shape["rows"]
@@ -128,6 +137,8 @@ def sharded_render_step(
         local_rows=local_rows,
         max_steps=max_steps,
         gather_samples=gather_samples,
+        shadow_lut_radius=shadow_lut_radius,
+        march_cell=march_cell,
     )
     new_accum = jax.shard_map(
         body,
@@ -636,6 +647,12 @@ class MeshRenderer:
             )
         self._clip = box
         self._occ_diag = float(np.linalg.norm(box[1] - box[0]))
+        if config.motion_mode not in ("off", "coarse"):
+            raise ValueError(
+                "MeshRenderer supports motion_mode 'off' or 'coarse' only; "
+                "'truncated' is the single-chip short-cap CompactView build "
+                f"(got {config.motion_mode!r})"
+            )
 
         self.grid = replicate(mesh, grid)
         self.mesh = mesh
@@ -721,11 +738,11 @@ class MeshRenderer:
         r = math.ceil(float(self.params.ray_marching_step_size))
         return r if 0 < r <= self.config.shadow_lut_max_radius else 0
 
-    def _current_path_view(self, lut_radius: int):
-        """Multi-chip PathView, keyed like Renderer._current_path_view."""
+    def _path_key(self, lut_radius: int):
+        """PathView cache key (mirrors Renderer._make_path_view_key)."""
         import numpy as np
 
-        key = (
+        return (
             tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
             tuple(np.asarray(self.params.camera_rotation)
                   .reshape(-1).tolist()),
@@ -738,6 +755,10 @@ class MeshRenderer:
             float(self.params.photon_initial_intensity),
             lut_radius,
         )
+
+    def _current_path_view(self, lut_radius: int):
+        """Multi-chip PathView, keyed like Renderer._current_path_view."""
+        key = self._path_key(lut_radius)
         if self._path_view is None or key != self._path_view_key:
             self._path_view = bake_path_view_sharded(
                 self.grid, self.params, config=self.config,
@@ -750,9 +771,60 @@ class MeshRenderer:
     # PATH cache budget, same derivation as Renderer.path_cache_budget_bytes
     path_cache_budget_bytes: int = 1 << 31
 
+    def _motion_steps(self, n: int) -> RenderState:
+        """Camera-in-motion frames, multi-chip: the same coarse degraded
+        path as Renderer._motion_steps — full depth at motion_stride x the
+        step size through the plain (uncached) sharded step, no view
+        rebuild — so sharded drag frames are bit-equal to single-chip drag
+        frames (tests/test_sharding.py::test_mesh_renderer_motion_coarse).
+        Only "coarse" exists here; __init__ rejects "truncated" (a
+        single-chip short-cap CompactView construct)."""
+        import math
+
+        import numpy as np
+
+        from ..engine.params import Fidelity
+        from ..render.color import required_march_steps
+
+        stride = max(1, int(self.config.motion_stride))
+        coarse = float(self.params.ray_marching_step_size) * stride
+        params = self.params.replace(
+            ray_marching_step_size=np.float32(coarse))
+        steps = required_march_steps(
+            self.grid, coarse, self.config.max_march_steps)
+        kw = {}
+        if self.algorithm is Algorithm.PATH:
+            r = math.ceil(coarse)
+            kw["shadow_lut_radius"] = (
+                r if self.config.fidelity is Fidelity.REFERENCE
+                and 0 < r <= self.config.shadow_lut_max_radius else 0)
+            kw["march_cell"] = max(1, int(8.0 // max(coarse, 1e-6)))
+        for _ in range(n):
+            self.state = sharded_render_step(
+                self.grid, params, self.state, algorithm=self.algorithm,
+                config=self.config, max_steps=steps, mesh=self.mesh,
+                gather_samples=self.gather_samples, **kw,
+            )
+        return self.state
+
+    def _moving(self, key, cached_key) -> bool:
+        """Renderer's drag heuristic: a march-relevant key that changed
+        since the last cached build AND since the previous step() call."""
+        return (
+            self.config.motion_mode == "coarse"
+            and cached_key is not None
+            and key != cached_key
+            and key != getattr(self, "_last_step_key", None)
+        )
+
     def step(self, n: int = 1) -> RenderState:
         if self.algorithm is Algorithm.PATH:
             lut_r = self._shadow_lut_radius()
+            key = self._path_key(lut_r)
+            moving = self._moving(key, self._path_view_key)
+            self._last_step_key = key
+            if moving:
+                return self._motion_steps(n)
             cache_bytes = (
                 self.config.width * self.config.height * self.max_steps * 5
             )
@@ -773,6 +845,11 @@ class MeshRenderer:
                         gather_samples=self.gather_samples,
                     )
             return self.state
+        key = self._march_key()
+        moving = self._moving(key, self._view_key)
+        self._last_step_key = key
+        if moving:
+            return self._motion_steps(n)
         view = self._current_view()
         remaining = n
         while remaining > 0:
