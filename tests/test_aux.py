@@ -103,7 +103,30 @@ def test_render_offline_and_viewer_wiring(tmp_path):
     v.sliders["max_lights"].set_val(321)
     assert int(r.params.max_lights) == 321
     assert int(r.state.frame_count) == 3  # still no auto-reset
-    v.btn.eventson and v.renderer.refresh()
+    # Live FPS/Mrays readout (SURVEY §5.5): populated after a tick, both as
+    # a figure overlay and in the window title.
+    v.tick()
+    assert v.stats.fps > 0
+    txt = v.fps_text.get_text()
+    assert "fps" in txt and "Mrays/s" in txt and "frame 4" in txt
+    assert "Mrays/s" in v.fig.canvas.manager.get_window_title()
+    # Algorithm radio through the real widget event layer: switching resets
+    # accumulation (reference combo zeroes frameCount, src/main.cpp:651-659).
+    v.radio.set_active([a.name for a in Algorithm].index("RAY"))
+    assert r.algorithm is Algorithm.RAY
+    assert int(r.state.frame_count) == 0
+    v.tick(2)
+    assert int(r.state.frame_count) == 2
+    # Refresh button through the real matplotlib event pipeline (a synthetic
+    # click over the button axes), not a direct renderer.refresh() call.
+    from matplotlib.backend_bases import MouseEvent
+
+    v.fig.canvas.draw()
+    bb = v.btn.ax.bbox
+    x, y = (bb.x0 + bb.x1) / 2, (bb.y0 + bb.y1) / 2
+    for name in ("button_press_event", "button_release_event"):
+        ev = MouseEvent(name, v.fig.canvas, x, y, 1)
+        v.fig.canvas.callbacks.process(name, ev)
     assert int(r.state.frame_count) == 0
 
 

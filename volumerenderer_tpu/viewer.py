@@ -19,6 +19,7 @@ import numpy as np
 from .engine.params import Algorithm
 from .engine.session import Renderer
 from .io import ppm
+from .utils.profiling import FrameStats
 
 
 def render_offline(
@@ -83,6 +84,10 @@ class InteractiveViewer:
             renderer.config = dataclasses.replace(
                 renderer.config, motion_mode=motion_mode
             )
+        # Live FPS/Mrays readout — the observability surface the reference
+        # never had (SURVEY.md §5.5: its ImGui panel shows parameters only,
+        # no frame counter; src/main.cpp has no timing code at all).
+        self.stats = FrameStats()
         self._build_ui()
 
     def _build_ui(self):
@@ -94,6 +99,9 @@ class InteractiveViewer:
         self.ax_img.axis("off")
         self.im = self.ax_img.imshow(
             self.renderer.image(), vmin=0.0, vmax=1.0
+        )
+        self.fps_text = self.fig.text(
+            0.02, 0.965, "", family="monospace", fontsize=9
         )
 
         self.ax_algo = self.fig.add_axes([0.68, 0.70, 0.28, 0.25])
@@ -150,9 +158,23 @@ class InteractiveViewer:
         return setter
 
     def tick(self, n: int = 1):
-        """Advance n frames and update the displayed image."""
+        """Advance n frames and update the displayed image + FPS readout."""
         self.renderer.step(n)
+        # image() is a device read — it fences the async dispatch, so the
+        # tick-to-tick interval FrameStats sees is real frame wall-clock.
         self.im.set_data(self.renderer.image())
+        for _ in range(n):
+            self.stats.tick()
+        cfg = self.renderer.config
+        readout = (
+            f"{self.stats.fps:6.1f} fps | "
+            f"{self.stats.mrays_per_sec(cfg.width, cfg.height):7.1f} Mrays/s"
+            f" | frame {int(self.renderer.state.frame_count)}"
+        )
+        self.fps_text.set_text(readout)
+        manager = getattr(self.fig.canvas, "manager", None)
+        if manager is not None:
+            manager.set_window_title(f"volumerenderer_tpu — {readout}")
         self.fig.canvas.draw_idle()
 
     def run(self, frames_per_tick: int = 1):
