@@ -747,3 +747,51 @@ def test_beam_tangent_paired_matches_exact():
             impl="vpu_interpret", paired=True)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_cross_segment_paired_closed_and_vrl():
+    """The cross-SEGMENT divide pairing (two segments per loop trip with
+    the per-segment divides shared — gather_vpu._closed_paired_sum /
+    _vrl_paired_sum) agrees with the one-divide-per-segment evaluation to
+    reassociation error, in BOTH layouts, for both even and odd live
+    segment counts (the odd tail duplicates the last segment with zeroed
+    intensity — must contribute exactly nothing)."""
+    from volumerenderer_tpu.ops.gather import gather_segments
+
+    rs = np.random.RandomState(101)
+    R, C = 64, 32
+    px = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    py = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    pz = jnp.asarray((rs.randn(R, C) * 8 + 15).astype(np.float32))
+    w = jnp.asarray((rs.rand(R, C) > 0.3).astype(np.float32))
+    Cp, Rc = 16, 1024
+    pxl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pyl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    pzl = jnp.asarray((rs.randn(Cp, Rc) * 8 + 15).astype(np.float32))
+    wl = jnp.asarray((rs.rand(Cp, Rc) > 0.2).astype(np.float32))
+    pos_from = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    pos_to = jnp.asarray((rs.randn(6, 3) * 8 + 15).astype(np.float32))
+    inten = jnp.asarray((rs.rand(6) * 30).astype(np.float32))
+
+    for n_live in (4, 5):
+        valid = jnp.arange(6) < n_live
+        for radius in (0.25, None):  # Beam closed / Ray VRL
+            kw = dict(sphere_radius=radius, quad_nodes=16,
+                      quad_rule="closed")
+            exact = gather_segments(
+                px, py, pz, w, pos_from, pos_to, inten, valid,
+                impl="vpu_interpret", **kw)
+            fast = gather_segments(
+                px, py, pz, w, pos_from, pos_to, inten, valid,
+                impl="vpu_interpret", paired=True, **kw)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(exact), rtol=2e-4, atol=1e-6)
+            exact_l = gather_segments(
+                pxl, pyl, pzl, wl, pos_from, pos_to, inten, valid,
+                impl="vpu_interpret", layout="lanes", **kw)
+            fast_l = gather_segments(
+                pxl, pyl, pzl, wl, pos_from, pos_to, inten, valid,
+                impl="vpu_interpret", layout="lanes", paired=True, **kw)
+            np.testing.assert_allclose(
+                np.asarray(fast_l), np.asarray(exact_l),
+                rtol=2e-4, atol=1e-5)

@@ -440,10 +440,12 @@ def gather_segments(
     see pallas/gather_vpu._quad_nodes_nq).
     ``layout`` as in gather_planes: "slots" -> (R, C) weighted radiance
     (weight folded into the kernel), "lanes" -> (Rc,) per-ray sums.
-    ``paired=True``: one divide per 4 quadrature nodes in the VBL kernels
-    (segment_eval="paired"; reassociation-only deviation on an
-    already-approximate mode) — no effect on the closed-form VRL or the
-    XLA oracle."""
+    ``paired=True`` (segment_eval="paired"; reassociation-only
+    deviation): one divide per 4 quadrature nodes in the node-rule VBL
+    kernels; for the divide-per-SEGMENT forms (closed-rule VBL, the
+    closed-form VRL) segments run two per loop trip with the per-segment
+    divides shared across the pair (gather_vpu._closed_paired_sum /
+    _vrl_paired_sum).  No effect on the XLA oracle."""
     from .pallas import gather_vpu as vpu_mod
 
     interpret = impl.endswith("_interpret")

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..lights import FOUR_PI, GUARD
 from .gather_vpu import (
-    _atan, _cross_q2, _node_sum, _quad_nodes_nq, _subtended_angle,
+    _atan, _closed_paired_sum, _cross_q2, _node_sum, _quad_nodes_nq,
+    _subtended_angle, _vrl_paired_sum,
 )
 
 TILE_L = 1024  # rays (lanes) per block
@@ -240,16 +241,30 @@ def _analytic_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref, ux_ref,
     — "midpoint" in s or Gauss-Legendre in the "tangent"-transformed
     variable; see gather_vpu._quad_nodes_nq).
 
-    ``paired=True`` (quadrature only): the node sum's one-divide-per-node
-    becomes one divide per 4 nodes via the same rational combination as
-    _point_kernel (guarded nodes (n=0, q=1) contribute exactly zero) —
-    reassociation-only deviation on top of a mode that is already a
-    quadrature approximation."""
+    ``paired=True``: for node quadratures ("midpoint"/"tangent") the node
+    sum's one-divide-per-node becomes one divide per 4 nodes via the same
+    rational combination as _point_kernel (guarded nodes (n=0, q=1)
+    contribute exactly zero).  For the divide-per-SEGMENT forms — the
+    closed-form VBL antiderivative and the closed-form VRL — segments are
+    processed two per trip with the per-segment divides shared across the
+    pair (gather_vpu._closed_paired_sum / _vrl_paired_sum).  All variants
+    are reassociation-level deviations."""
     start = meta_ref[0]
     count = meta_ref[1]
     radius = rad_ref[0]
 
     def body(px, py, pz):
+        if paired and nodes is None:
+            return _vrl_paired_sum(
+                ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                ll_ref, ii_ref, start, count, px, py, pz,
+            )
+        if paired and rule == "closed":
+            return _closed_paired_sum(
+                ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                ll_ref, ii_ref, start, count, radius, px, py, pz,
+            )
+
         def seg(k, acc):
             dx = px - ax_ref[k]
             dy = py - ay_ref[k]
@@ -415,8 +430,9 @@ def gather_segments_analytic_lanes(
     """Analytic VRL / quadrature VBL over lane planes (gather_vpu
     gather_segments_analytic twin).  ``quad_rule`` selects the VBL node
     placement (gather_vpu._quad_nodes_nq).  ``paired=True``: one divide
-    per 4 quadrature nodes (VBL only; the closed-form VRL has one divide
-    per segment already)."""
+    per 4 quadrature nodes for node rules; the closed-rule VBL and the
+    closed-form VRL pair their per-segment divides across two segments
+    per trip instead (see _analytic_kernel)."""
     Cp, Rc, block_need = _prep(px, py, pz, wm, lane_need)
     u, length, safe, start, count = segment_cols(
         pos_from, pos_to, intensity, valid

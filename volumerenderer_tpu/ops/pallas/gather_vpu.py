@@ -131,6 +131,31 @@ def _atan(x):
     return jnp.where(x < 0.0, -p, p)
 
 
+def _pos_ratio_parts(num, den):
+    """min/max decomposition of a nonnegative-numerator ratio for
+    _atan_pos_ratio-style evaluation: (lo, hi, inverted) with the target
+    tangent = lo/hi <= 1 (inverted: the angle is pi/2 - atan(lo/hi))."""
+    ad = jnp.abs(den)
+    inv = num > ad
+    lo = jnp.minimum(num, ad)
+    hi = jnp.maximum(num, ad)
+    return lo, hi, inv
+
+
+def _atan_pos_poly(z, inverted, den):
+    """Finish a _atan_pos_ratio evaluation from its precomputed min/max
+    ratio z = lo/hi <= 1: minimax polynomial (|err| < 2e-5) + the
+    inversion and den-sign quadrant logic."""
+    z2 = z * z
+    p = z * (
+        0.9998660
+        + z2
+        * (-0.3302995 + z2 * (0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351)))
+    )
+    p = jnp.where(inverted, jnp.float32(1.5707963267948966) - p, p)
+    return jnp.where(den < 0.0, jnp.float32(_PI_F32) - p, p)
+
+
 def _atan_pos_ratio(num, den):
     """The angle in [0, pi] whose tangent is ``num / den``, for num >= 0 —
     i.e. ``atan(num/den) + pi * (den < 0)`` — with ONE divide: the
@@ -142,19 +167,30 @@ def _atan_pos_ratio(num, den):
     angle's numerator is L*q, and the VBL closed form's is
     kappa*(ds + qL) with ds >= 0 in both its branches (each a sum of
     same-sign terms)."""
-    ad = jnp.abs(den)
-    inv = num > ad
-    lo = jnp.minimum(num, ad)
-    hi = jnp.maximum(num, ad)
+    lo, hi, inv = _pos_ratio_parts(num, den)
     z = lo / jnp.maximum(hi, 1e-30)
-    z2 = z * z
-    p = z * (
-        0.9998660
-        + z2
-        * (-0.3302995 + z2 * (0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351)))
-    )
-    p = jnp.where(inv, jnp.float32(1.5707963267948966) - p, p)
-    return jnp.where(den < 0.0, jnp.float32(_PI_F32) - p, p)
+    return _atan_pos_poly(z, inv, den)
+
+
+def _paired_pos_ratio_atans(num_a, den_a, num_b, den_b):
+    """TWO _atan_pos_ratio evaluations sharing ONE divide: the reciprocal
+    of hi_a*hi_b serves both min/max ratios (z_a = lo_a*hi_b*inv, likewise
+    z_b) — the divide is the most expensive VPU op of the gather inner
+    loops (~19 fma-equivalent slots, probe_beam_roofline), so halving it
+    across consecutive segments is the same lever as the 4-term pairing
+    of the discrete/point loops; deviation is reassociation-level
+    (2-3 ulp on z).  Range: hi is bounded below by the guard-floored
+    geometry at both call sites (VRL: den -> q2 >= GUARD when num -> 0;
+    VBL closed: dent >= 4 qc^2 >= 4 GUARD when numt -> 0) and above by
+    ~kappa*ds ~ 1e13 at UI coordinate ranges, so hi_a*hi_b stays inside
+    f32 with orders of magnitude to spare; the 1e-30 floor matches
+    _atan_pos_ratio's."""
+    lo_a, hi_a, inv_a = _pos_ratio_parts(num_a, den_a)
+    lo_b, hi_b, inv_b = _pos_ratio_parts(num_b, den_b)
+    inv = 1.0 / jnp.maximum(hi_a * hi_b, jnp.float32(1e-30))
+    ang_a = _atan_pos_poly(lo_a * (hi_b * inv), inv_a, den_a)
+    ang_b = _atan_pos_poly(lo_b * (hi_a * inv), inv_b, den_b)
+    return ang_a, ang_b
 
 
 def _cos(x):
@@ -211,6 +247,66 @@ def _subtended_angle(b, q2, qd, ll):
     range-reduction divides into one."""
     den = q2 - b * (ll - b)
     return _atan_pos_ratio(ll * qd, den)
+
+
+def _closed_pre(d, u, b, ll, radius):
+    """Closed-form VBL geometry up to the ds RATIO: ``ds = ds_num/ds_den``
+    with ds_den == 1 whenever the sample projects inside [0, L] (the
+    direct sum p0 + p1 is stable there) and the conjugate-form numerator /
+    denominator otherwise (the direct sum cancels there; both conjugate
+    terms are then same-sign).  Returning the unevaluated ratio lets the
+    paired segment loop share ONE reciprocal across two segments' conj
+    divides (``_closed_paired_sum``).  Returns
+    ``(ds_num, ds_den, (qc, d0, d1))``."""
+    q2 = _cross_q2(d, u)
+    qc = jnp.maximum(jnp.sqrt(q2), radius * jnp.float32(1.015625))
+    qc2 = qc * qc
+    lb = ll - b
+    d0 = jnp.sqrt(qc2 + b * b)
+    d1 = jnp.sqrt(qc2 + lb * lb)
+    p0 = lb * d0
+    p1 = b * d1
+    den_c = p0 - p1
+    inside = (b >= 0.0) & (b <= ll)
+    ds_num = jnp.where(inside, p0 + p1, qc2 * ll * (ll - 2.0 * b))
+    ds_den = jnp.where(
+        inside, 1.0, jnp.where(den_c == 0.0, 1e-30, den_c)
+    )
+    return ds_num, ds_den, (qc, d0, d1)
+
+
+def _closed_post(ds, b, ll, radius, geom):
+    """Everything of the closed-form VBL antiderivative after the ds
+    ratio and EXCEPT the atan evaluation: returns
+    ``(n_r, q_r, t_pre, numt, dent, qc)`` where the rational node is
+    ``n_r / q_r``, the atan node is ``t_pre * atan_pos_ratio(numt, dent)``,
+    and ``qc`` is the integral scale.  Split from :func:`_closed_pre` so
+    callers can batch the atans (and conj/rational divides) of TWO
+    segments through shared reciprocals — the divide is the most
+    expensive VPU op of the inner loop (probe_beam_roofline).
+
+    All identities are the d0*d1-rescaled forms documented at the
+    ``rule == "closed"`` branch of :func:`_quad_nodes_nq`."""
+    qc, d0, d1 = geom
+    lb = ll - b
+    sl = qc * ll
+    A = (qc - radius) * (qc + radius)
+    irA = jax.lax.rsqrt(A)
+    kappa = (qc + radius) * irA
+    n_r = radius * (ds - radius * ll)
+    q_r = (A * qc) * ((d0 - radius) * (d1 - radius))
+    numt = kappa * (ds + sl)
+    dent = (d0 + qc) * (d1 + qc) - (kappa * kappa) * (b * lb)
+    t_pre = (2.0 * qc) * (irA * irA * irA)
+    return n_r, q_r, t_pre, numt, dent, qc
+
+
+def _closed_parts(d, u, b, ll, radius):
+    """Single-segment composition of pre + post (ds_den == 1 inside the
+    projection range, so the divide is exact there — bit-identical to
+    evaluating the direct sum)."""
+    ds_num, ds_den, geom = _closed_pre(d, u, b, ll, radius)
+    return _closed_post(ds_num / ds_den, b, ll, radius, geom)
 
 
 def _quad_nodes_nq(rule: str, nodes: int, d, u, b, ll, radius):
@@ -328,30 +424,8 @@ def _quad_nodes_nq(rule: str, nodes: int, d, u, b, ll, radius):
         # rational part + (T, 1) atan part — so scale = q and the node
         # loop, pairing, and both kernel layouts are reused unchanged
         # (callers force nodes=2 via effective_quad_nodes).
-        q2 = _cross_q2(d, u)
-        qc = jnp.maximum(jnp.sqrt(q2), radius * jnp.float32(1.015625))
-        qc2 = qc * qc
-        lb = ll - b
-        d0 = jnp.sqrt(qc2 + b * b)
-        d1 = jnp.sqrt(qc2 + lb * lb)
-        p0 = lb * d0
-        p1 = b * d1
-        den_c = p0 - p1
-        conj = (
-            qc2 * ll * (ll - 2.0 * b)
-            / jnp.where(den_c == 0.0, 1e-30, den_c)
-        )
-        ds = jnp.where((b >= 0.0) & (b <= ll), p0 + p1, conj)
-        sl = qc * ll
-        A = (qc - radius) * (qc + radius)
-        irA = jax.lax.rsqrt(A)
-        kappa = (qc + radius) * irA
-        n_r = radius * (ds - radius * ll)
-        q_r = (A * qc) * ((d0 - radius) * (d1 - radius))
-        numt = kappa * (ds + sl)
-        dent = (d0 + qc) * (d1 + qc) - (kappa * kappa) * (b * lb)
-        ang = _atan_pos_ratio(numt, dent)
-        t_term = (2.0 * qc) * (irA * irA * irA) * ang
+        n_r, q_r, t_pre, numt, dent, qc = _closed_parts(d, u, b, ll, radius)
+        t_term = t_pre * _atan_pos_ratio(numt, dent)
 
         def node_nq(j):
             if j == 0:
@@ -393,6 +467,102 @@ def _node_sum(node_nq, nodes: int, paired: bool, like):
             n, q = node_nq(j)
             total += n / q
     return total
+
+
+def _closed_paired_sum(ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                       ll_ref, ii_ref, start, count, radius, px, py, pz):
+    """Closed-form VBL light sum with segments processed TWO per loop trip
+    and each of the three per-segment divides (conjugate ds ratio, atan
+    range reduction, rational node) shared across the pair: 3 divides per
+    2 segments instead of 6.  The divide is the most expensive VPU op of
+    the inner loop (~19 fma-equivalent issue slots, probe_beam_roofline),
+    so this is the same lever as the 4-term pairing of the discrete/point
+    loops.  Deviation is reassociation-level (a few ulp on each shared
+    ratio) on top of the exact antiderivative.
+
+    Odd counts: the tail trip clamps its second index to the last valid
+    segment and zeroes its intensity — q_r > 0 and dent/numt stay in the
+    guarded range for any live segment, so the duplicate contributes
+    exactly 0 through ii.  Range: the shared rational denominator is
+    q_r_a * q_r_b ~ D^10 at coordinate scale D (q_r ~ A qc (d0-r)(d1-r)
+    ~ D^5) — finite in f32 for D up to ~2e3, far beyond the UI coordinate
+    range (~3e2; the unpaired path's single-segment q_r holds to ~1e7)."""
+
+    def load(k):
+        dx = px - ax_ref[k]
+        dy = py - ay_ref[k]
+        dz = pz - az_ref[k]
+        u = (ux_ref[k], uy_ref[k], uz_ref[k])
+        b = dx * u[0] + dy * u[1] + dz * u[2]
+        return (dx, dy, dz), u, b, ll_ref[k]
+
+    def seg2(g, acc):
+        k0 = start + 2 * g
+        k1 = jnp.minimum(k0 + 1, start + count - 1)
+        da, ua, ba, la = load(k0)
+        db, ub, bb, lb = load(k1)
+        ii_a = ii_ref[k0]
+        ii_b = jnp.where(k0 + 1 < start + count, ii_ref[k1], 0.0)
+        dsn_a, dsd_a, ga = _closed_pre(da, ua, ba, la, radius)
+        dsn_b, dsd_b, gb = _closed_pre(db, ub, bb, lb, radius)
+        rec = 1.0 / (dsd_a * dsd_b)  # divide 1 of 3
+        n_ra, q_ra, tp_a, nt_a, dt_a, qc_a = _closed_post(
+            dsn_a * (dsd_b * rec), ba, la, radius, ga
+        )
+        n_rb, q_rb, tp_b, nt_b, dt_b, qc_b = _closed_post(
+            dsn_b * (dsd_a * rec), bb, lb, radius, gb
+        )
+        ang_a, ang_b = _paired_pos_ratio_atans(
+            nt_a, dt_a, nt_b, dt_b
+        )  # divide 2 of 3
+        sa = ii_a * qc_a
+        sb = ii_b * qc_b
+        rat = (
+            (sa * n_ra) * q_rb + (sb * n_rb) * q_ra
+        ) / (q_ra * q_rb)  # divide 3 of 3
+        return acc + rat + sa * (tp_a * ang_a) + sb * (tp_b * ang_b)
+
+    return jax.lax.fori_loop(
+        0, (count + 1) // 2, seg2, jnp.zeros_like(px)
+    )
+
+
+def _vrl_paired_sum(ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                    ll_ref, ii_ref, start, count, px, py, pz):
+    """Closed-form VRL light sum, two segments per trip, the per-segment
+    atan range-reduction divides shared across the pair
+    (``_paired_pos_ratio_atans``): 1 divide per 2 segments instead of 2.
+    Same math as _segment_kernel's seg body otherwise (subtended angle
+    via the tangent-difference identity, integral = dtheta * rsqrt(q2));
+    odd-count tail handled by index clamp + zeroed intensity as in
+    _closed_paired_sum."""
+
+    def parts(k):
+        dx = px - ax_ref[k]
+        dy = py - ay_ref[k]
+        dz = pz - az_ref[k]
+        u = (ux_ref[k], uy_ref[k], uz_ref[k])
+        b = dx * u[0] + dy * u[1] + dz * u[2]
+        ll = ll_ref[k]
+        q2 = _cross_q2((dx, dy, dz), u)
+        iq = jax.lax.rsqrt(q2)
+        num = ll * (q2 * iq)
+        den = q2 - b * (ll - b)
+        return num, den, iq
+
+    def seg2(g, acc):
+        k0 = start + 2 * g
+        k1 = jnp.minimum(k0 + 1, start + count - 1)
+        num_a, den_a, iq_a = parts(k0)
+        num_b, den_b, iq_b = parts(k1)
+        ii_a = ii_ref[k0]
+        ii_b = jnp.where(k0 + 1 < start + count, ii_ref[k1], 0.0)
+        ang_a, ang_b = _paired_pos_ratio_atans(num_a, den_a, num_b, den_b)
+        return acc + ii_a * (ang_a * iq_a) + ii_b * (ang_b * iq_b)
+
+    return jax.lax.fori_loop(
+        0, (count + 1) // 2, seg2, jnp.zeros_like(px)
+    )
 
 
 def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
@@ -437,6 +607,16 @@ def _segment_sphere_kernel(meta_ref, rad_ref, ax_ref, ay_ref, az_ref,
         count = meta_ref[1]
         radius = rad_ref[0]
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+
+        if paired and rule == "closed":
+            # Cross-SEGMENT pairing: the closed form has no node loop to
+            # pair within, so its three divides are shared across two
+            # consecutive segments instead (3 per 2 segments vs 6).
+            o_ref[:] = w_ref[:] * _closed_paired_sum(
+                ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                ll_ref, ii_ref, start, count, radius, px, py, pz,
+            )
+            return
 
         def seg(k, acc):
             ax = ax_ref[k]
@@ -564,7 +744,7 @@ def _segment_discrete_kernel(meta_ref, scal_ref, ax_ref, ay_ref, az_ref,
 
 def _segment_kernel(meta_ref, ax_ref, ay_ref, az_ref, ux_ref, uy_ref,
                     uz_ref, ll_ref, ii_ref, active_ref, px_ref, py_ref,
-                    pz_ref, w_ref, o_ref):
+                    pz_ref, w_ref, o_ref, *, paired: bool = False):
     """Analytic VRL: closed-form line integral per (sample, segment).
 
     The reference discretizes each RayLight segment every lightRayStepSize
@@ -597,6 +777,13 @@ def _segment_kernel(meta_ref, ax_ref, ay_ref, az_ref, ux_ref, uy_ref,
         start = meta_ref[0]
         count = meta_ref[1]
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+
+        if paired:
+            o_ref[:] = w_ref[:] * _vrl_paired_sum(
+                ax_ref, ay_ref, az_ref, ux_ref, uy_ref, uz_ref,
+                ll_ref, ii_ref, start, count, px, py, pz,
+            )
+            return
 
         def seg(k, acc):
             ax = ax_ref[k]
@@ -822,7 +1009,7 @@ def gather_segments_analytic(
     L = pos_from.shape[0]
     if sphere_radius is None:
         return pl.pallas_call(
-            _segment_kernel,
+            functools.partial(_segment_kernel, paired=paired),
             grid=grid,
             in_specs=[smem()] * 10 + [spec()] * 4,
             out_specs=spec(),
