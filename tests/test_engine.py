@@ -307,7 +307,11 @@ def test_motion_mode_coarse_preserves_brightness_and_settles_exact():
 
     def moved(mode, **cfg):
         r = small_renderer(algorithm=Algorithm.POINT)
-        r.config = dataclasses.replace(r.config, motion_mode=mode, **cfg)
+        # settle_chunks=0 pins the BLOCKING settle rebuild: this test is
+        # the bit-parity anchor for it (the progressive overlap has its
+        # own test below).
+        r.config = dataclasses.replace(r.config, motion_mode=mode,
+                                       settle_chunks=0, **cfg)
         r.step(1)
         settled_view = r._view
         r.set(camera_pos=[0.0, 1.0, -15.0])
@@ -338,6 +342,53 @@ def test_motion_mode_coarse_preserves_brightness_and_settles_exact():
     r_ref.step(1)
     np.testing.assert_array_equal(np.asarray(r_co.state.accum),
                                   np.asarray(r_ref.state.accum))
+
+
+def test_progressive_settle_overlap():
+    """settle_chunks > 1 with motion_mode="coarse": the settle rebuild
+    dispatches one row chunk per tick with coarse frames presenting in
+    between (the display never starves), a re-drag mid-progress discards
+    the partial chunks, and the merged view's exact shading matches a
+    blocking rebuild to the documented band-cap reassociation error."""
+    import dataclasses
+
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.config = dataclasses.replace(
+        r.config, motion_mode="coarse", motion_stride=4, settle_chunks=4)
+    r.step(1)
+    r.set(camera_pos=[0.0, 1.5, -15.0])
+    r.step(1)  # drag frame
+    assert r._settle is None and not r.view_exact
+    fc0 = int(r.state.frame_count)
+    for i in range(3):  # chunks 0..2: fresh coarse frames keep flowing
+        r.step(1)
+        assert not r.view_exact
+        assert r._settle is not None and len(r._settle["views"]) == i + 1
+        assert int(r.state.frame_count) == fc0 + 1 + i
+    # a re-drag mid-progress drops the partial rebuild
+    r.set(camera_pos=[0.0, 2.5, -15.0])
+    r.step(1)
+    assert r._settle is None and not r.view_exact
+    # settle again: 3 chunk ticks (coarse), then the landing tick shades
+    # through the merged exact view
+    for _ in range(3):
+        r.step(1)
+        assert not r.view_exact
+    r.step(1)
+    assert r.view_exact and r._settle is None
+    assert len(r._view.bands) == 4  # one band per merged row chunk
+    # fresh-accumulation exact frames match a blocking-rebuild session to
+    # the ~1 ulp band-cap cumprod association (render.color.merge_row_views)
+    r.refresh()
+    r.step(1)
+    rb = small_renderer(algorithm=Algorithm.POINT)
+    rb.set(camera_pos=[0.0, 2.5, -15.0])
+    rb.step(1)
+    rb.refresh()
+    rb.step(1)
+    np.testing.assert_allclose(
+        np.asarray(r.state.accum), np.asarray(rb.state.accum),
+        rtol=2e-6, atol=1e-7)
 
 
 @pytest.mark.parametrize("algo", [Algorithm.SPHERE, Algorithm.RAY,
@@ -451,3 +502,35 @@ def test_gather_eval_paired_matches_exact_render():
         b = np.asarray(r_fast.image())
         assert np.all(np.isfinite(b))
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-5)
+
+
+def test_gather_stride_decimation():
+    """gather_stride=S (StaticConfig): S consecutive march samples fold
+    into one centroid gather evaluation.  The per-ray TOTAL weight —
+    brightness for a constant light field — is conserved to rounding, the
+    sample planes shrink ~S x, and the shaded image stays close to exact
+    on the smooth test field (documented approximate fast tier)."""
+    import dataclasses
+
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(1)
+    exact = np.asarray(r.image())
+    v_ex = r._view
+
+    r2 = small_renderer(algorithm=Algorithm.POINT)
+    r2.config = dataclasses.replace(r2.config, gather_stride=2)
+    r2.step(1)
+    dec = np.asarray(r2.image())
+    v_de = r2._view
+
+    we = np.asarray(v_ex.bands[0].weight).sum(axis=0)
+    wd = np.asarray(v_de.bands[0].weight).sum(axis=0)
+    np.testing.assert_allclose(wd, we, rtol=1e-5, atol=1e-6)
+    Cp_ex = v_ex.bands[0].weight.shape[0]
+    Cp_de = v_de.bands[0].weight.shape[0]
+    assert Cp_de <= -(-((Cp_ex + 1) // 2) // 8) * 8  # ~halved + quantum
+    assert np.isfinite(dec).all() and dec.max() > 0
+    # smooth-field accuracy: small relative deviation, mean preserved
+    denom = max(exact.max(), 1e-6)
+    assert np.abs(dec - exact).max() / denom < 0.06
+    assert abs(dec.mean() / exact.mean() - 1.0) < 0.02

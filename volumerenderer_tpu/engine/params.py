@@ -163,6 +163,30 @@ class StaticConfig:
     motion_mode: str = "off"
     motion_cap: int = 16
     motion_stride: int = 12
+    # Progressive settle ("coarse" motion + device compact build only):
+    # when the camera stops, rebuild the exact view ONE row chunk per tick
+    # — settle_chunks equal-height chunks, merged at the end
+    # (render.color.merge_row_views) — while coarse drag frames keep
+    # presenting between chunk dispatches.  The camera-stop hitch becomes
+    # ~(rebuild/settle_chunks + one coarse frame) of inter-frame gap
+    # instead of one blocking rebuild-sized freeze (the reference never
+    # stalls on motion, src/main.cpp:620-934; this is the TPU answer).
+    # <= 1, heights not divisible by it, host/banded builds, and PATH fall
+    # back to the blocking rebuild.
+    settle_chunks: int = 4
+    # Gather-sample decimation (approximate FAST tier, all four gather
+    # algorithms): fold each run of ``gather_stride`` consecutive march
+    # samples into ONE light-field evaluation at the run's weight centroid
+    # carrying the run's summed weight (render.color._decimate_band).  The
+    # march itself — occupancy, transmittance, weights — stays exact; only
+    # the in-scattered light field L(p), smooth away from lights, is
+    # sampled coarser: sum_i w_i L(p_i) ~= (sum_i w_i) L(centroid), the
+    # first-moment-matched (midpoint-rule) coarsening of the outer
+    # integral, exact for locally-linear L.  Error is measured and
+    # documented in BENCHMARKS.md; brightness is conserved exactly for a
+    # constant field (the weight sum is preserved).  1 = off (default,
+    # bit-parity); applies to compact views only.
+    gather_stride: int = 1
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)

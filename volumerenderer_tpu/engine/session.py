@@ -72,6 +72,8 @@ class Renderer:
         self.use_view_cache = True
         self._view = None
         self._view_key = None
+        # In-flight progressive settle rebuild (see _settle_step).
+        self._settle = None
         # PATH's baked camera segment (render.path.PathView) — keyed like
         # the ViewCache plus the light fields its prefix bakes in.
         self._path_view = None
@@ -90,6 +92,7 @@ class Renderer:
         # A volume swap changes the view key but is not a camera drag:
         # the next frame must be exact, not a coarse motion preview.
         self._suppress_motion_once = True
+        self._settle = None
 
     # ---- UI semantics ----
 
@@ -116,6 +119,7 @@ class Renderer:
         # of the fresh accumulation must be exact, not a coarse motion
         # preview (which would stay mixed into the average forever).
         self._suppress_motion_once = True
+        self._settle = None
 
     # ---- frame loop ----
 
@@ -167,9 +171,11 @@ class Renderer:
         rebuilt when any dependency changes (camera edits invalidate; light
         edits don't — matching which UBO fields the march reads)."""
         key = self._make_view_key(max_steps)
-        if key != self._view_key:
+        if key != self._view_key or self._view is None:
             # Release the stale view FIRST: at bunny_cloud scale it holds
             # multiple GB of HBM and coexisting with the rebuild would OOM.
+            # (_view can be None at a matching key if a progressive settle
+            # rebuild was abandoned by a drag back to this exact camera.)
             self._view = None
             self._view_key = None
             clip_box, view_steps = self._occupied_clip()
@@ -379,13 +385,21 @@ class Renderer:
 
         inv = np.full((n_rays,), lanes_n, np.int32)
         inv[order_l[:hit_n]] = np.arange(hit_n, dtype=np.int32)
-        return CompactView(
+        view = CompactView(
             bands=tuple(bands),
             inv_map=jnp.asarray(inv),
             src=order_dev,
             n_rays=n_rays,
             rows=H,
         )
+        if self.config.gather_stride > 1:
+            # The device build decimates inside its own dispatch; the
+            # host-banded build decimates here (same fold, per band).
+            from ..render import color as color_mod
+
+            view = color_mod.decimate_view(
+                view, int(self.config.gather_stride))
+        return view
     def _motion_steps(self, n: int, max_steps: int) -> RenderState:
         """Camera-in-motion frames (config.motion_mode != "off"): render
         through a cheap degraded path — the SAME static-shape device build
@@ -458,6 +472,73 @@ class Renderer:
                 max_steps=max_steps,
             )
         return self.state
+
+    def _settle_step(self, key, max_steps: int, n: int) -> bool:
+        """Advance the progressive settle rebuild (StaticConfig.
+        settle_chunks): dispatch ONE row-chunk compact build for the
+        settled camera, then render this tick's frames through the coarse
+        motion path so the display never freezes — the chunk and the
+        coarse frame share the device queue, so the inter-frame gap is
+        ~rebuild/settle_chunks + one coarse frame instead of one
+        rebuild-sized stall.  When the last chunk lands, the chunks merge
+        into the full exact view (render.color.merge_row_views) and the
+        caller proceeds to exact shading.
+
+        Returns True when an exact view for ``key`` is installed — or the
+        progressive path is not applicable (settle_chunks <= 1, height
+        not divisible, non-coarse motion, host/banded builds) and the
+        caller should rebuild blocking.  Measured @1080p/96^3
+        (scripts/probe_settle_overlap.py): see BENCHMARKS.md."""
+        K = int(getattr(self.config, "settle_chunks", 0))
+        H = self.config.height
+        if (
+            K <= 1
+            or H % K
+            or self.config.motion_mode != "coarse"
+            or not self.config.compact_view
+        ):
+            self._settle = None
+            return True
+        st = self._settle
+        if st is None or st["key"] != key:
+            clip_box, view_steps = self._occupied_clip()
+            steps = min(max_steps, view_steps)
+            if not self._device_build_ok(steps):
+                self._settle = None
+                return True
+            # Drop the stale full view NOW: the chunk list grows toward
+            # full-view size, and coexisting with the old view would
+            # double the peak HBM of exactly the configuration the device
+            # budget was sized for.  The stale KEY stays — it is the
+            # "camera is away from the settled view" signal the moving
+            # classifier needs during a re-drag (_current_view rebuilds
+            # on a None view regardless).
+            self._view = None
+            st = self._settle = {
+                "key": key, "clip": clip_box, "steps": steps, "views": [],
+            }
+        cell = max(
+            1, int(8.0 // max(float(self.params.ray_marching_step_size),
+                              1e-6))
+        )
+        i = len(st["views"])
+        st["views"].append(build_compact_view_device_step(
+            self.grid, self.params, st["clip"], i * (H // K),
+            config=self.config, steps=st["steps"], num_rows=H // K,
+            march_cell=cell,
+        ))
+        if len(st["views"]) < K:
+            # Fresh coarse frames keep flowing while the exact chunks
+            # cook on the same device queue.
+            self._motion_steps(n, max_steps)
+            return False
+        from ..render import color as color_mod
+
+        self._view = color_mod.merge_row_views(st["views"])
+        self._view_key = key
+        self.view_exact = True
+        self._settle = None
+        return True
 
     # HBM budget for PATH's baked camera segment (PathView holds two
     # rays x steps planes); beyond it PATH renders uncached (the scatter
@@ -543,17 +624,29 @@ class Renderer:
         cached = self.use_view_cache
         if cached:
             key = self._make_view_key(max_steps)
+            suppress = getattr(self, "_suppress_motion_once", False)
             moving = (
                 self.config.motion_mode != "off"
                 and self._view_key is not None
                 and key != self._view_key
                 and key != getattr(self, "_last_step_key", None)
-                and not getattr(self, "_suppress_motion_once", False)
+                and not suppress
             )
             self._suppress_motion_once = False
             self._last_step_key = key
             if moving:
+                self._settle = None  # camera moved again: drop progress
                 return self._motion_steps(n, max_steps)
+            if (
+                not suppress
+                and key != self._view_key
+                and (self._view_key is not None or self._settle is not None)
+            ):
+                # The camera just settled on a stale view: rebuild the
+                # exact view progressively (one row chunk per tick, coarse
+                # frames in between) instead of one blocking hitch.
+                if not self._settle_step(key, max_steps, n):
+                    return self.state
             view = self._current_view(max_steps)
             remaining = n
             while remaining > 0:

@@ -196,6 +196,107 @@ def expand_compact_colors(compact_colors: jax.Array, view: CompactView):
     return jnp.take(ext, view.inv_map, mode="clip")[: view.n_rays]
 
 
+def _decimate_band(band: PlaneBand, stride: int) -> PlaneBand:
+    """Fold each run of ``stride`` consecutive march samples of a lane
+    band into ONE gather evaluation point: the run's weight centroid,
+    carrying the run's summed weight (StaticConfig.gather_stride).
+
+    The shade integral per ray is sum_i w_i L(p_i) with w_i the exact
+    march weights (transmittance x absorption x step — untouched here)
+    and L the in-scattered light field, smooth away from lights.  Over a
+    run R the folded term (sum_R w) L(centroid_R) matches the exact sum's
+    zeroth AND first moments — exact for locally-linear L, so brightness
+    for a constant field is conserved to rounding, and the error is
+    O(h^2 L'') in the run span h.  Gather work (pairs = samples x lights,
+    the frame-dominant term for every gather algorithm) drops ~stride x.
+
+    Zero-weight runs keep the run's first sample position (any in-volume
+    point is valid; their weight is exactly 0 so they contribute
+    nothing).  The sample axis re-pads to the f32 sublane quantum and
+    lane_need shrinks to ceil(need/stride), so block skipping keeps
+    hugging the live work."""
+    Cp, Rc = band.weight.shape
+    pad = (-Cp) % stride
+
+    def runs(a):
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        return a.reshape((Cp + pad) // stride, stride, Rc)
+
+    w = runs(band.weight)
+    ws = jnp.sum(w, axis=1)
+    inv = 1.0 / jnp.maximum(ws, 1e-30)
+    live = ws > 0.0
+
+    def centroid(a):
+        r = runs(a)
+        return jnp.where(live, jnp.sum(r * w, axis=1) * inv, r[:, 0, :])
+
+    C2 = ws.shape[0]
+    pad8 = (-C2) % 8
+
+    def quant(a):
+        return jnp.pad(a, ((0, pad8), (0, 0))) if pad8 else a
+
+    return PlaneBand(
+        wx=quant(centroid(band.wx)),
+        wy=quant(centroid(band.wy)),
+        wz=quant(centroid(band.wz)),
+        weight=quant(ws),
+        lane_need=(band.lane_need + (stride - 1)) // stride,
+    )
+
+
+def decimate_view(view: CompactView, stride: int) -> CompactView:
+    """Apply _decimate_band to every band of a CompactView (inv_map/src
+    are per-RAY structures — decimation only folds the sample axis)."""
+    if stride <= 1:
+        return view
+    return CompactView(
+        bands=tuple(_decimate_band(b, stride) for b in view.bands),
+        inv_map=view.inv_map, src=view.src,
+        n_rays=view.n_rays, rows=view.rows,
+    )
+
+
+def merge_row_views(views) -> CompactView:
+    """Merge row-chunk CompactViews — built over consecutive, disjoint row
+    ranges, passed in image order — into one full-image view: bands
+    concatenate in lane order, ``src``/``inv_map`` reindex into the global
+    lane/ray spaces (each chunk's miss sentinel, == its own lane count,
+    becomes the merged lane count so expansion still reads the zero slot).
+
+    Shading a merged view runs band-for-band the same kernels as shading
+    the chunks, so values match a monolithic full-image build to the ~1 ulp
+    band-cap cumprod association already documented on the device build.
+    Used by the progressive settle rebuild (engine.session._settle_step):
+    the exact view is rebuilt one row chunk per tick, coarse drag frames
+    presenting in between, so the camera-stop hitch never blocks the
+    display."""
+    total_lanes = sum(int(v.src.shape[0]) for v in views)
+    bands = []
+    src_parts = []
+    inv_parts = []
+    lane0 = 0
+    ray0 = 0
+    for v in views:
+        bands.extend(v.bands)
+        lanes_v = int(v.src.shape[0])
+        src_parts.append(v.src + jnp.int32(ray0))
+        inv_parts.append(jnp.where(
+            v.inv_map >= lanes_v, total_lanes, v.inv_map + lane0
+        ).astype(v.inv_map.dtype))
+        lane0 += lanes_v
+        ray0 += int(v.n_rays)
+    return CompactView(
+        bands=tuple(bands),
+        inv_map=jnp.concatenate(inv_parts),
+        src=jnp.concatenate(src_parts),
+        n_rays=ray0,
+        rows=sum(int(v.rows) for v in views),
+    )
+
+
 @struct.dataclass
 class ViewCache:
     """Baked march for a fixed (camera, volume, step/absorption) view.
@@ -766,10 +867,13 @@ def build_compact_view_device(
         ))
         start += size
 
-    return CompactView(
+    view = CompactView(
         bands=tuple(bands), inv_map=inv_map, src=src,
         n_rays=n_rays, rows=rows,
     )
+    if config.gather_stride > 1:
+        view = decimate_view(view, int(config.gather_stride))
+    return view
 
 
 def shade_view(
