@@ -88,12 +88,18 @@ def main() -> None:
         720, gather_eval="paired")
     run("Sphere/VSL 1280x720 gather exact (bit-parity, default)", A.SPHERE,
         1280, 720)
+    run("Sphere/VSL 1920x1080 gather paired (fast mode)", A.SPHERE, 1920,
+        1080, gather_eval="paired")
+    run("Sphere/VSL 1920x1080 gather exact (bit-parity, default)", A.SPHERE,
+        1920, 1080, frames=16)
     run("Ray/VRL 1920x1080 discrete paired (fast mode)", A.RAY, 1920, 1080,
         frames=16, segment_eval="paired")
     run("Ray/VRL 1920x1080 discrete exact (bit-parity, default)", A.RAY,
         1920, 1080, frames=8)
     run("Ray/VRL 1920x1080 analytic", A.RAY, 1920, 1080, frames=16,
         segment_mode="analytic")
+    run("Ray/VRL 1920x1080 analytic paired (cross-segment)", A.RAY, 1920,
+        1080, frames=16, segment_mode="analytic", segment_eval="paired")
     run("Beam/VBL 1920x1080 discrete paired (fast mode)", A.BEAM, 1920,
         1080, frames=8, segment_eval="paired")
     run("Beam/VBL 1920x1080 analytic (16-node quadrature)", A.BEAM, 1920,
@@ -105,7 +111,10 @@ def main() -> None:
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired", beam_quadrature_rule="tangent",
         beam_quadrature_nodes=8)
-    run("Beam/VBL 1920x1080 analytic paired (closed-form, fast mode)",
+    run("Beam/VBL 1920x1080 analytic closed-form, exact divides",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        beam_quadrature_rule="closed")
+    run("Beam/VBL 1920x1080 analytic paired closed-form (fast mode)",
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired", beam_quadrature_rule="closed")
     run("Beam/VBL 1920x1080 analytic tangent-8, exact node divides",
@@ -117,6 +126,8 @@ def main() -> None:
         beam_quadrature_nodes=4)
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
     run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
+        frames=4, warmup=3)
+    run("Path 1920x1080 (bar resolution)", A.PATH, 1920, 1080,
         frames=4, warmup=3)
 
     g384 = procedural.cloud(n=384)
@@ -202,6 +213,39 @@ def main() -> None:
     print(f"{label:55s} {spf*1e3:8.1f} ms "
           f"(min {min(settles)*1e3:.0f} / max {max(settles)*1e3:.0f})",
           flush=True)
+    note(f"done: {label}")
+    del r
+
+    # Progressive settle (StaticConfig.settle_chunks, coarse motion): the
+    # exact rebuild runs one row chunk per tick with coarse frames between
+    # — the MAX per-tick wall time is the user-perceived hitch, vs the
+    # blocking settle frame above.
+    r = Renderer(g96, StaticConfig(width=1920, height=1080,
+                                   motion_mode="coarse"), params,
+                 algorithm=A.POINT)
+    K = int(r.config.settle_chunks)
+    for fov in (44.9, 45.0):  # warm drag + a full settle cycle each
+        r.set(fov=fov)
+        r.step(1)
+        for _ in range(K + 1):
+            r.step(1)
+        sync(r.state.accum)
+    r.set(fov=44.9)
+    r.step(1)
+    sync(r.state.accum)  # drag frame; settle starts next tick
+    gaps = []
+    for _ in range(K + 1):
+        t0 = time.perf_counter()
+        r.step(1)
+        sync(r.state.accum)
+        gaps.append(time.perf_counter() - t0)
+    assert r.view_exact, "settle did not land exact within K+1 ticks"
+    label = (f"Point/VPL 1080p progressive settle (max tick, "
+             f"settle_chunks={K})")
+    spf = max(gaps)
+    rows.append((label, spf * 1e3, 1920 * 1080 / spf / 1e6))
+    print(f"{label:55s} {spf*1e3:8.1f} ms (ticks: "
+          + " ".join(f"{g_*1e3:.0f}" for g_ in gaps) + ")", flush=True)
     note(f"done: {label}")
     del r
 
