@@ -124,11 +124,38 @@ def main() -> None:
         A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
         segment_eval="paired", beam_quadrature_rule="tangent",
         beam_quadrature_nodes=4)
+    # Decimated gather tier (gather_stride=2, PARITY #22): quality
+    # quantified in BENCHMARKS.md (scripts/probe_stride_error.py).
+    run("Point/VPL 1920x1080 paired + stride-2 (decimated tier)", A.POINT,
+        1920, 1080, gather_eval="paired", gather_stride=2)
+    run("Sphere/VSL 1920x1080 paired + stride-2 (decimated tier)",
+        A.SPHERE, 1920, 1080, gather_eval="paired", gather_stride=2)
+    run("Ray/VRL 1920x1080 analytic paired + stride-2 (decimated tier)",
+        A.RAY, 1920, 1080, frames=16, segment_mode="analytic",
+        segment_eval="paired", gather_stride=2)
+    run("Beam/VBL 1920x1080 closed paired + stride-2 (decimated tier)",
+        A.BEAM, 1920, 1080, frames=8, segment_mode="analytic",
+        segment_eval="paired", beam_quadrature_rule="closed",
+        gather_stride=2)
+
     run("Path 256x256 (cached camera segment)", A.PATH, 256, 256, frames=16)
     run("Path 1024x1024 (reference window scale)", A.PATH, 1024, 1024,
         frames=4, warmup=3)
     run("Path 1920x1080 (bar resolution)", A.PATH, 1920, 1080,
         frames=4, warmup=3)
+
+    # PATH 1080p fast operating point: frame batching wins ~25% at this
+    # scale (scripts/probe_path_1080p.py; retired at 256^2 where it loses
+    # ~12% — the default stays 1).
+    r = Renderer(g96, StaticConfig(width=1920, height=1080), params,
+                 algorithm=A.PATH)
+    r.path_frame_batch = 4
+    mrays, spf = measure(r, 8, 4)
+    label = "Path 1920x1080 (frame_batch=4, fast)"
+    rows.append((label, spf * 1e3, mrays))
+    print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s", flush=True)
+    note(f"done: {label}")
+    del r
 
     g384 = procedural.cloud(n=384)
     run("Point/VPL 1280x720 on 384^3 (57M voxels)", A.POINT, 1280, 720,
@@ -160,6 +187,9 @@ def main() -> None:
     print(f"bunny-scale shell occupancy: {occ*100:.1f}%", flush=True)
     run("Point/VPL 1920x1080 on bunny-scale thin shell (145M voxels)",
         A.POINT, 1920, 1080, grid=gb, frames=16)
+    run("Point/VPL 1920x1080 bunny-scale shell paired + stride-2",
+        A.POINT, 1920, 1080, grid=gb, frames=16, gather_eval="paired",
+        gather_stride=2)
     del gb
 
     # Moving camera at the headline config: (a) default exact mode — the

@@ -36,7 +36,9 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 HBM_PEAK = 819e9  # v5e spec HBM bandwidth, bytes/s
 CLOCK = 0.94e9
-N_FETCH = 1 << 24  # 16.7M
+# 4M fetches through 16 chunks: the 16.7M/64-chunk variant broke the
+# remote-compile helper (25-minute compile, then transport broken pipe).
+N_FETCH = 1 << 22
 CHUNK = 1 << 18
 
 
@@ -44,15 +46,19 @@ def sync(x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def bench(label, fn, idx, bytes_per_row, n=4):
+def bench(label, fn, table, idx, bytes_per_row, n=4):
+    # The table MUST be a jit argument: a closure over a device array
+    # embeds it as a compile-time constant, and the remote-compile helper
+    # rejects the 0.6 GiB payload (HTTP 413).
     @jax.jit
-    def run(idx):
-        return jax.lax.map(fn, idx.reshape(-1, CHUNK)).reshape(-1)
+    def run(table, idx):
+        return jax.lax.map(lambda c: fn(table, c),
+                           idx.reshape(-1, CHUNK)).reshape(-1)
 
-    sync(run(idx))
+    sync(run(table, idx))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = run(idx)
+        out = run(table, idx)
     s = sync(out)
     dt = (time.perf_counter() - t0) / n
     rows = idx.shape[0] / dt
@@ -98,27 +104,19 @@ def main() -> None:
     idx_flat = jax.random.randint(
         jax.random.PRNGKey(2), (N_FETCH,), 0, vol.size, jnp.int32)
 
-    r_f32 = bench(f"f32 sub-row {sub} random",
-                  lambda c: jnp.sum(jnp.take(rows_f32, c, axis=0,
-                                             mode="clip"), axis=-1),
-                  idx, sub * 4)
-    bench(f"f32 sub-row {sub} SORTED",
-          lambda c: jnp.sum(jnp.take(rows_f32, c, axis=0, mode="clip"),
-                            axis=-1),
-          idx_sorted, sub * 4)
-    r_bf16 = bench(f"bf16 sub-row {sub} random (half bytes)",
-                   lambda c: jnp.sum(jnp.take(rows_bf16, c, axis=0,
-                                              mode="clip").astype(
-                                                  jnp.float32), axis=-1),
-                   idx, sub * 2)
-    bench(f"bf16 sub-row {2*sub} random (same bytes as f32)",
-          lambda c: jnp.sum(jnp.take(rows_bf16_wide, c, axis=0,
-                                     mode="clip").astype(jnp.float32),
-                            axis=-1),
-          idx_wide, sub * 4)
+    row_sum = lambda t, c: jnp.sum(
+        jnp.take(t, c, axis=0, mode="clip").astype(jnp.float32), axis=-1)
+    r_f32 = bench(f"f32 sub-row {sub} random", row_sum, rows_f32, idx,
+                  sub * 4)
+    bench(f"f32 sub-row {sub} SORTED", row_sum, rows_f32, idx_sorted,
+          sub * 4)
+    r_bf16 = bench(f"bf16 sub-row {sub} random (half bytes)", row_sum,
+                   rows_bf16, idx, sub * 2)
+    bench(f"bf16 sub-row {2*sub} random (same bytes as f32)", row_sum,
+          rows_bf16_wide, idx_wide, sub * 4)
     r_flat = bench("f32 flat 1-element take random",
-                   lambda c: jnp.take(flat, c, mode="clip"),
-                   idx_flat, 4)
+                   lambda t, c: jnp.take(t, c, mode="clip"),
+                   flat, idx_flat, 4)
 
     print(f"\n  verdict inputs: row rate moves {r_f32/r_flat:.2f}x from "
           f"4 B to {sub*4} B rows; bf16 at half the bytes moves it "

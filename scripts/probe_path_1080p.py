@@ -84,5 +84,50 @@ def main() -> None:
           flush=True)
 
 
+
+
+def combo() -> None:
+    """Follow-up: combine the levers that WON individually at 1080p
+    (frame_batch=4, cell skipping off, wider chunks) — round-3 retired
+    them at 256^2; the 1080p cost structure inverts them."""
+    print("claiming device...", flush=True)
+    _ = float(jnp.zeros((), jnp.float32))
+    from volumerenderer_tpu import (
+        Algorithm, Renderer, RenderParams, StaticConfig,
+    )
+    from volumerenderer_tpu.grid import procedural
+
+    grid = procedural.cloud(n=96)
+    base = RenderParams.default().replace(
+        camera_pos=jnp.float32([0.0, 20.0, -75.0]),
+        light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
+    )
+
+    def frames(label, batch=1, n=4, warm=None, **cfg):
+        r = Renderer(grid, StaticConfig(width=W, height=H, **cfg), base,
+                     algorithm=Algorithm.PATH)
+        r.path_frame_batch = batch
+        r.step(warm if warm is not None else max(3, batch))
+        sync(r.state.accum)
+        t0 = time.perf_counter()
+        r.step(n)
+        sync(r.state.accum)
+        spf = (time.perf_counter() - t0) / n
+        print(f"  {label:56s} {spf*1e3:8.1f} ms/frame "
+              f"({W*H/spf/1e6:5.2f} Mrays/s)", flush=True)
+        del r
+        return spf * 1e3
+
+    frames("batch=4 + cell=1", batch=4, n=8, path_march_cell=1)
+    frames("batch=4 + cell=1 + chunk=8192", batch=4, n=8,
+           path_march_cell=1, path_chunk=8192)
+    frames("batch=4 + chunk=8192 (cell auto)", batch=4, n=8,
+           path_chunk=8192)
+    frames("cell=1 + chunk=8192 (batch 1)", path_march_cell=1,
+           path_chunk=8192)
+    frames("batch=2 + cell=1 + chunk=8192", batch=2, n=8,
+           path_march_cell=1, path_chunk=8192)
+
+
 if __name__ == "__main__":
-    main()
+    combo() if "--combo" in sys.argv else main()

@@ -169,3 +169,33 @@ def test_brick_occupancy_lookup_formulations_agree():
         dense_mod._OCC_SELECT_MAX_TERMS = old
     np.testing.assert_array_equal(occ1, occ2)
     np.testing.assert_array_equal(dil1, dil2)
+
+
+def test_fetch_depth_padding():
+    """Deep volumes whose brick-padded nz has no z-sub-row divisor in
+    [96, 128] are zero-padded in z to the nearest cheap divisor depth
+    within a 25% budget (the gather is row-issue-bound, so zero bytes
+    are free — scripts/probe_fetch_roofline.py); values, bbox, and
+    occupancy are unchanged (exact)."""
+    from volumerenderer_tpu.grid.dense import (
+        _pad_depth_for_fetch, _zrow_len, from_dense)
+
+    assert _pad_depth_for_fetch(96) == 96  # small depths untouched
+    assert _pad_depth_for_fetch(440) == 440  # already has divisor 110
+    assert _pad_depth_for_fetch(264) == 288  # 96x3, +9%
+    assert _zrow_len(288) == 96
+    assert _pad_depth_for_fetch(136) == 136  # next good depth is +41%
+
+    rs = np.random.RandomState(7)
+    vol = (rs.rand(8, 8, 264) * (rs.rand(8, 8, 264) < 0.2)).astype(
+        np.float32)
+    g = from_dense(vol, bbox_min=(2, 3, 4))
+    assert g.voxels.shape[2] == 288
+    np.testing.assert_array_equal(np.asarray(g.bbox_max), [9, 10, 267])
+    ijk = jnp.stack(jnp.meshgrid(
+        jnp.arange(2, 10), jnp.arange(3, 11), jnp.arange(4, 268),
+        indexing="ij"), axis=-1)
+    np.testing.assert_array_equal(np.asarray(g.sample_ijk(ijk)), vol)
+    # beyond the original depth: exactly zero (pad) and out-of-bbox
+    probe = jnp.asarray([[2, 3, 268], [2, 3, 300]], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(g.sample_ijk(probe)), [0, 0])

@@ -318,6 +318,28 @@ def _pad_to_brick(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _pad_depth_for_fetch(nz: int) -> int:
+    """Fetch-friendly depth for deep volumes: the smallest brick-aligned
+    n >= nz with a z-sub-row divisor in [96, 128] (_zrow_len), within a
+    25% memory budget.  Depths with no such divisor otherwise fall back
+    to the flat per-element gather — measured ~1.2x slower than the
+    sub-row form at asset scale (scripts/probe_fetch_roofline.py: 79.4
+    vs 67.0 Mrows/s; the gather is row-ISSUE-bound at ~12 clocks/row and
+    <= 4% of HBM peak, so extra zero bytes are free).  Zero padding is
+    exact — identical to the out-of-bbox guard's 0.0, invisible to
+    occupancy (pad bricks are empty) and to the tight bbox_max.  The
+    production-class 438 pads to 440 (divisor 110, +0.5% memory);
+    depths needing > 25% extra stay flat."""
+    if nz <= 128 or _zrow_len(nz):
+        return nz
+    n = nz + (-nz) % BRICK
+    while n - nz <= max(BRICK, nz // 4):
+        if _zrow_len(n):
+            return n
+        n += BRICK
+    return nz
+
+
 def from_dense(
     values: np.ndarray,
     bbox_min=(0, 0, 0),
@@ -337,6 +359,11 @@ def from_dense(
     bbox_min = np.asarray(bbox_min, np.int32)
     bbox_max = bbox_min + np.asarray(values.shape, np.int32) - 1
     padded = _pad_to_brick(values)
+    nz_fetch = _pad_depth_for_fetch(padded.shape[2])
+    if nz_fetch > padded.shape[2]:
+        padded = np.pad(
+            padded, ((0, 0), (0, 0), (0, nz_fetch - padded.shape[2]))
+        )
     nb = tuple(s // BRICK for s in padded.shape)
     bricks = padded.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
     brick_max = bricks.max(axis=(1, 3, 5))
