@@ -66,12 +66,26 @@ def main() -> None:
     )
     rows = []
 
+    def dump():
+        """Write the artifact after EVERY row: a transient remote-compile
+        failure late in the run must not discard an hour of measurements
+        (it did once — the r4 MeshRenderer row)."""
+        with open(os.path.join(os.path.dirname(__file__), os.pardir,
+                               "bench_matrix.json"), "w") as f:
+            json.dump(
+                {"backend": jax.default_backend(),
+                 "rows": [{"label": l, "ms_per_frame": round(m, 1),
+                           "mrays": round(x, 2)} for (l, m, x) in rows]},
+                f, indent=2,
+            )
+
     def run(label, algo, w, h, grid=None, frames=32, warmup=9, **cfg):
         r = Renderer(grid if grid is not None else g96,
                      StaticConfig(width=w, height=h, **cfg), params,
                      algorithm=algo)
         mrays, spf = measure(r, frames, warmup)
         rows.append((label, spf * 1e3, mrays))
+        dump()
         print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s",
               flush=True)
         note(f"done: {label}")
@@ -153,6 +167,7 @@ def main() -> None:
     mrays, spf = measure(r, 8, 4)
     label = "Path 1920x1080 (frame_batch=4, fast)"
     rows.append((label, spf * 1e3, mrays))
+    dump()
     print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s", flush=True)
     note(f"done: {label}")
     del r
@@ -210,6 +225,7 @@ def main() -> None:
         sync(r.state.accum)
         dt = (time.perf_counter() - t0) / n_moving
         rows.append((label, dt * 1e3, 1920 * 1080 / dt / 1e6))
+        dump()
         print(f"{label:55s} {dt*1e3:8.1f} ms "
               f"{1920*1080/dt/1e6:8.2f} Mrays/s", flush=True)
         note(f"done: {label}")
@@ -240,6 +256,7 @@ def main() -> None:
     label = "Point/VPL 1080p settle frame (exact rebuild + shade)"
     spf = float(np.median(settles))
     rows.append((label, spf * 1e3, 1920 * 1080 / spf / 1e6))
+    dump()
     print(f"{label:55s} {spf*1e3:8.1f} ms "
           f"(min {min(settles)*1e3:.0f} / max {max(settles)*1e3:.0f})",
           flush=True)
@@ -274,6 +291,7 @@ def main() -> None:
              f"settle_chunks={K})")
     spf = max(gaps)
     rows.append((label, spf * 1e3, 1920 * 1080 / spf / 1e6))
+    dump()
     print(f"{label:55s} {spf*1e3:8.1f} ms (ticks: "
           + " ".join(f"{g_*1e3:.0f}" for g_ in gaps) + ")", flush=True)
     note(f"done: {label}")
@@ -287,26 +305,28 @@ def main() -> None:
     from volumerenderer_tpu.parallel.sharding import MeshRenderer
 
     mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
-    mr = MeshRenderer(g96, mesh,
-                      StaticConfig(width=1920, height=1080,
-                                   gather_eval="paired"),
-                      params, A.POINT)
-    mrays, spf = measure(mr, 32, 8)  # throwaway (deferred lazy work)
+    for attempt in range(3):
+        try:
+            mr = MeshRenderer(g96, mesh,
+                              StaticConfig(width=1920, height=1080,
+                                           gather_eval="paired"),
+                              params, A.POINT)
+            mrays, spf = measure(mr, 32, 8)  # throwaway (deferred lazy)
+            break
+        except Exception as e:  # transient remote-compile hiccups
+            note(f"MeshRenderer attempt {attempt} failed: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(20)
     mrays, spf = measure(mr, 32, 0)
     label = "Point/VPL 1080p MeshRenderer paired (1-device TPU mesh)"
     rows.append((label, spf * 1e3, mrays))
+    dump()
     print(f"{label:55s} {spf*1e3:8.1f} ms {mrays:8.2f} Mrays/s", flush=True)
     note(f"done: {label}")
     del mr
 
-    with open(os.path.join(os.path.dirname(__file__), os.pardir,
-                           "bench_matrix.json"), "w") as f:
-        json.dump(
-            {"backend": jax.default_backend(),
-             "rows": [{"label": l, "ms_per_frame": round(m, 1),
-                       "mrays": round(x, 2)} for (l, m, x) in rows]},
-            f, indent=2,
-        )
+    dump()
 
 
 if __name__ == "__main__":

@@ -500,6 +500,8 @@ class Renderer:
             self._settle = None
             return True
         st = self._settle
+        if st is not None and st.get("K") != K:
+            st = None  # settle_chunks changed mid-progress: restart
         if st is None or st["key"] != key:
             clip_box, view_steps = self._occupied_clip()
             steps = min(max_steps, view_steps)
@@ -516,16 +518,26 @@ class Renderer:
             self._view = None
             st = self._settle = {
                 "key": key, "clip": clip_box, "steps": steps, "views": [],
+                "K": K,
             }
         cell = max(
             1, int(8.0 // max(float(self.params.ray_marching_step_size),
                               1e-6))
         )
         i = len(st["views"])
+        from ..ops.pallas.gather_lanes import TILE_L
+
+        # Proportionally smaller bands INSIDE each chunk: a row chunk
+        # contains busy rays in every screen region, so at the default
+        # band width the whole chunk would march at its top rung cap and
+        # forfeit the sorted full build's per-band rung savings (measured
+        # ~2x total rebuild inflation at K=4).  K x smaller bands restore
+        # rung granularity at chunk scope.
+        band = max(TILE_L, (512 * 1024 // K) // TILE_L * TILE_L)
         st["views"].append(build_compact_view_device_step(
             self.grid, self.params, st["clip"], i * (H // K),
             config=self.config, steps=st["steps"], num_rows=H // K,
-            march_cell=cell,
+            march_cell=cell, band_lanes=band,
         ))
         if len(st["views"]) < K:
             # Fresh coarse frames keep flowing while the exact chunks
