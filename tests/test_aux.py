@@ -138,6 +138,12 @@ def test_cli_render(tmp_path):
     rc = main(["render", "--size", "16", "--frames", "1",
                "--algorithm", "POINT", "--out", out])
     assert rc == 0 and (tmp_path / "cli.png").stat().st_size > 0
+    # --fast tiers select the BENCHMARKS.md performance configs
+    out2 = str(tmp_path / "cli_fast.png")
+    rc = main(["render", "--size", "16", "--frames", "1",
+               "--algorithm", "BEAM", "--fast", "decimated",
+               "--out", out2])
+    assert rc == 0 and (tmp_path / "cli_fast.png").stat().st_size > 0
 
 
 def test_frame_stats():

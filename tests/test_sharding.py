@@ -239,3 +239,27 @@ def test_mesh_renderer_rebakes_view_on_param_edit():
     np.testing.assert_allclose(
         np.asarray(mr.state.accum), np.asarray(mr2.state.accum),
         rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_renderer_gather_stride_matches_single_chip():
+    """gather_stride decimation (PARITY #22) is applied INSIDE
+    build_compact_view_device, so the sharded per-device build inherits
+    it unchanged: a decimated MeshRenderer must match a decimated
+    single-chip Renderer (same centroid folds per row band)."""
+    import dataclasses
+
+    from volumerenderer_tpu.engine.session import Renderer
+    from volumerenderer_tpu.parallel.sharding import MeshRenderer
+
+    g, params, config = scene()
+    config = dataclasses.replace(config, gather_stride=2,
+                                 gather_eval="paired")
+    r = Renderer(g, config, params, algorithm=Algorithm.POINT)
+    r.step(2)
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    mr = MeshRenderer(g, mesh, config, params, Algorithm.POINT)
+    mr.step(2)
+    np.testing.assert_allclose(
+        np.asarray(mr.state.accum), np.asarray(r.state.accum),
+        rtol=1e-4, atol=1e-6)
+    assert int(mr.state.frame_count) == 2

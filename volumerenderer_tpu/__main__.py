@@ -5,13 +5,19 @@ The reference is launched as a desktop executable that opens a window on
 equivalent launcher:
 
   python -m volumerenderer_tpu render [--volume a.vdb] [--algorithm RAY]
-      [--size 512] [--frames 16] [--out out.png]      # headless render
+      [--size 512] [--frames 16] [--out out.png] [--fast paired]
   python -m volumerenderer_tpu view   [--volume a.vdb] [--size 512]
-                                                       # interactive window
+      [--fast decimated] [--motion coarse]             # interactive window
   python -m volumerenderer_tpu bench                   # tiny self-check
 
 ``--volume`` accepts .vdb / .nvdb / .npz (grid.load); without it a
 procedural cloud stands in for the reference's bunny asset.
+``--fast`` selects the BENCHMARKS.md performance tier: "off" (default)
+is reference bit-parity term order; "paired" is the reassociation-only
+fast mode (paired divides + the analytic segment integrals, closed-form
+Beam rule — PARITY #9/#15); "decimated" adds gather_stride=2 (the
+quantified approximation tier, PARITY #22).  ``--motion`` (view only)
+picks the mid-drag preview mode (PARITY #18; default "coarse").
 """
 
 from __future__ import annotations
@@ -31,7 +37,14 @@ def _make_renderer(args, algorithm=None):
     params = RenderParams.default().replace(
         light_source_world_pos=jnp.float32([0.0, 20.0, 20.0]),
     )
-    config = StaticConfig(width=args.size, height=args.size)
+    cfg = {}
+    fast = getattr(args, "fast", "off")
+    if fast in ("paired", "decimated"):
+        cfg.update(gather_eval="paired", segment_eval="paired",
+                   segment_mode="analytic", beam_quadrature_rule="closed")
+    if fast == "decimated":
+        cfg.update(gather_stride=2)
+    config = StaticConfig(width=args.size, height=args.size, **cfg)
     algo = Algorithm[args.algorithm] if algorithm is None else algorithm
     return Renderer(g, config, params, algorithm=algo)
 
@@ -58,7 +71,7 @@ def _cmd_view(args) -> int:
     from .viewer import InteractiveViewer
 
     r = _make_renderer(args, algorithm=Algorithm[args.algorithm])
-    InteractiveViewer(r).run()
+    InteractiveViewer(r, motion_mode=args.motion).run()
     return 0
 
 
@@ -84,9 +97,16 @@ def main(argv=None) -> int:
             p.add_argument("--size", type=int, default=512)
             p.add_argument("--algorithm", default="RAY",
                            choices=["BEAM", "RAY", "POINT", "SPHERE", "PATH"])
+            p.add_argument("--fast", default="off",
+                           choices=["off", "paired", "decimated"],
+                           help="performance tier (see BENCHMARKS.md)")
         if name == "render":
             p.add_argument("--frames", type=int, default=16)
             p.add_argument("--out", default="render.png")
+        if name == "view":
+            p.add_argument("--motion", default="coarse",
+                           choices=["off", "coarse", "truncated"],
+                           help="mid-drag preview mode (PARITY #18)")
     args = ap.parse_args(argv)
     return args.fn(args)
 
