@@ -77,3 +77,26 @@ def test_photon_chain_structure():
     src = np.float32([0.0, 0.0, 0.0])
     pf = np.asarray(la.pos_from)[: int(la.count)]
     assert (np.linalg.norm(pf - src, axis=-1) < 1e-4).any()
+
+
+def test_event_budget_saturation_and_remedy():
+    """PARITY #1 scale caveat: in a dense scene a small event budget
+    saturates (every photon emits exactly its cap) and the documented
+    remedy — raising max_events_per_photon (with capacity headroom) —
+    recovers more lights, still bounded by the runtime max_lights cap."""
+    import dataclasses
+
+    g, params, config = make_scene()
+    params = params.replace(max_lights=jnp.asarray(512, jnp.int32))
+    small = dataclasses.replace(config, max_events_per_photon=4,
+                                light_capacity=512)
+    big = dataclasses.replace(config, max_events_per_photon=24,
+                              light_capacity=512)
+    n_small = int(photon.generate_lights(g, params, jnp.int32(1),
+                                         small).count)
+    n_big = int(photon.generate_lights(g, params, jnp.int32(1), big).count)
+    # the small budget truncates walks (bounded by cap x photons); the
+    # bigger budget recovers the truncated scatters, within max_lights
+    assert n_small <= 4 * small.num_photons
+    assert n_big > n_small
+    assert n_big <= 512
