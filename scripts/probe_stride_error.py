@@ -70,13 +70,14 @@ def main() -> None:
     for label, algo, cfg in cases:
         ex = accum8(algo, **cfg)
         scale = max(float(np.abs(ex).max()), 1e-9)
-        for s in (2, 3):
-            de = accum8(algo, gather_stride=s, **cfg)
+        for s, fold in ((2, "centroid"), (3, "centroid"),
+                        (2, "gauss2"), (3, "gauss2")):
+            de = accum8(algo, gather_stride=s, gather_fold=fold, **cfg)
             rel = np.abs(de - ex) / scale
             p = np.percentile(rel, [99, 99.9, 100])
             n5 = int((rel > 0.05).sum())
             n1 = int((rel > 0.01).sum())
-            print(f"  {label:22s} stride {s}: p99={p[0]:.2e} "
+            print(f"  {label:22s} stride {s} {fold:8s}: p99={p[0]:.2e} "
                   f"p99.9={p[1]:.2e} max={p[2]:.2e}  "
                   f">1%: {n1} px ({n1/n_px*100:.3f}%)  >5%: {n5} px "
                   f"({n5/n_px*100:.4f}%)  SSIM={ssim(de, ex):.5f}",

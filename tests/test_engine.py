@@ -534,3 +534,55 @@ def test_gather_stride_decimation():
     denom = max(exact.max(), 1e-6)
     assert np.abs(dec - exact).max() / denom < 0.06
     assert abs(dec.mean() / exact.mean() - 1.0) < 0.02
+
+
+def test_gather_fold_gauss2():
+    """gather_fold="gauss2" (StaticConfig): runs of 2*stride samples fold
+    into TWO points at centroid -+ sigma with half the run weight each —
+    weighted moments 0, 1, 2 of each run are preserved exactly (up to
+    f32 rounding), per-frame evaluation count equals the centroid fold at
+    the same stride, and the shaded image error on the smooth test field
+    is no worse than the centroid fold's documented bound."""
+    import dataclasses
+
+    r = small_renderer(algorithm=Algorithm.POINT)
+    r.step(1)
+    exact = np.asarray(r.image())
+    v_ex = r._view
+
+    r2 = small_renderer(algorithm=Algorithm.POINT)
+    r2.config = dataclasses.replace(r2.config, gather_stride=2,
+                                    gather_fold="gauss2")
+    r2.step(1)
+    dec = np.asarray(r2.image())
+    v_de = r2._view
+
+    be, bd = v_ex.bands[0], v_de.bands[0]
+    we = np.asarray(be.weight)
+    wd = np.asarray(bd.weight)
+    # Moment 0: total weight conserved per lane.
+    np.testing.assert_allclose(wd.sum(axis=0), we.sum(axis=0),
+                               rtol=1e-5, atol=1e-6)
+    # Same evaluation count as centroid stride 2 (runs of 4 -> 2 points).
+    Cp_ex = we.shape[0]
+    assert wd.shape[0] <= -(-(2 * -(-Cp_ex // 4)) // 8) * 8
+    # Moments 1 and 2 per run of 4, per axis (padding rows weight 0).
+    R = 4
+    pad = (-Cp_ex) % R
+    for pe, pd in ((be.wx, bd.wx), (be.wy, bd.wy), (be.wz, bd.wz)):
+        pe = np.pad(np.asarray(pe, np.float64), ((0, pad), (0, 0)))
+        w4 = np.pad(np.asarray(we, np.float64), ((0, pad), (0, 0)))
+        n_runs = pe.shape[0] // R
+        pe = pe.reshape(n_runs, R, -1)
+        w4 = w4.reshape(n_runs, R, -1)
+        pd = np.asarray(pd, np.float64)[: 2 * n_runs].reshape(n_runs, 2, -1)
+        w2 = np.asarray(wd, np.float64)[: 2 * n_runs].reshape(n_runs, 2, -1)
+        for k in (1, 2):
+            m_ex = (w4 * pe**k).sum(axis=1)
+            m_de = (w2 * pd**k).sum(axis=1)
+            sc = np.maximum(np.abs(m_ex), 1e-12)
+            assert (np.abs(m_de - m_ex) / sc).max() < 5e-4, k
+    denom = max(exact.max(), 1e-6)
+    assert np.isfinite(dec).all() and dec.max() > 0
+    assert np.abs(dec - exact).max() / denom < 0.06
+    assert abs(dec.mean() / exact.mean() - 1.0) < 0.02

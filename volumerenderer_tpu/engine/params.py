@@ -187,6 +187,17 @@ class StaticConfig:
     # constant field (the weight sum is preserved).  1 = off (default,
     # bit-parity); applies to compact views only.
     gather_stride: int = 1
+    # Decimation fold rule (render.color._decimate_band*):
+    #   "centroid" — one evaluation point per run of ``gather_stride``
+    #                samples at the weight centroid (moments 0-1 matched);
+    #   "gauss2"   — TWO evaluation points per run of ``2*gather_stride``
+    #                samples at centroid +- weighted-stddev along the ray
+    #                (moments 0-2 matched, and moment 3 of the symmetric
+    #                pair is centered) — the SAME evaluations/sample cost
+    #                as "centroid" at equal ``gather_stride``, roughly one
+    #                polynomial order more accurate for smooth light
+    #                fields (measured per algorithm in BENCHMARKS.md).
+    gather_fold: str = "centroid"
     gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)
@@ -248,6 +259,14 @@ class StaticConfig:
     # savings on tiny images).  Tests lower it to cover the compact path
     # at small image sizes.
     path_compact_min: int = 4096
+    # Ray-tile width for the CACHED camera segment (render.path
+    # _seg1_frame over a baked PathView): unlike the bake, the cached
+    # pass does zero volume fetches — it is pure VPU replay over
+    # (tile, S) planes — so it can run far wider tiles than the z-row
+    # budgeted ray_tile.  At 1080p the 16384-wide map is 127 sequential
+    # dispatches (~56 ms of which is per-dispatch overhead); 131072 cuts
+    # it to 16.
+    path_cached_tile: int = 131072
     # Width of the fixed-shape chunks that walk the compacted alive-ray
     # list (render.path._scatter_segments): smaller = less padding waste
     # on the last chunk, larger = fewer sequential loop iterations.
@@ -266,6 +285,21 @@ class StaticConfig:
     # grouping never changes per-ray arithmetic; costs one argsort +
     # an arithmetic key per segment.
     path_sort_chunks: bool = True
+    # Which per-ray key _sorted_compact orders by:
+    #   "cells" — ceil(selected occupied cells / cell block), the chunk
+    #             while_loop's true trip count — the tightest key, but its
+    #             _select_cells evaluation is full-width (EVERY padded ray
+    #             pays it every segment: measured ~40 ms/segment of pure
+    #             key cost at 1080p, where the key outweighs the chunk
+    #             wins it buys);
+    #   "span"  — ceil(remaining in-box distance / sub-block span), one
+    #             intersect_aabb: a correlation proxy (empty space along
+    #             the span is invisible to it) at ~zero cost;
+    #   "auto"  — "cells" up to path_compact_min*16 total rays, "span"
+    #             beyond (the crossover measured on v5e: cells wins at
+    #             256^2-512^2, span wins at 1080p).
+    # Any key is bit-exact (scheduling only).
+    path_sort_key: str = "auto"
     # Scatter-segment empty-space skipping (render.path._walk_chunk
     # march_cell): 0 (default) = auto-derive the largest exact cell
     # (cell * step <= one 8-voxel brick pitch, as the camera view build

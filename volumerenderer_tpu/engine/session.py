@@ -398,7 +398,8 @@ class Renderer:
             from ..render import color as color_mod
 
             view = color_mod.decimate_view(
-                view, int(self.config.gather_stride))
+                view, int(self.config.gather_stride),
+                fold=self.config.gather_fold)
         return view
     def _motion_steps(self, n: int, max_steps: int) -> RenderState:
         """Camera-in-motion frames (config.motion_mode != "off"): render

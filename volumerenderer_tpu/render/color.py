@@ -247,13 +247,92 @@ def _decimate_band(band: PlaneBand, stride: int) -> PlaneBand:
     )
 
 
-def decimate_view(view: CompactView, stride: int) -> CompactView:
-    """Apply _decimate_band to every band of a CompactView (inv_map/src
-    are per-RAY structures — decimation only folds the sample axis)."""
+def _decimate_band_gauss2(band: PlaneBand, stride: int) -> PlaneBand:
+    """Two-point Gauss fold (StaticConfig.gather_fold="gauss2"): each run
+    of ``2*stride`` consecutive march samples becomes TWO evaluation
+    points at ``centroid -+ sigma`` along the ray, each carrying half the
+    run's summed weight — the unique symmetric two-point rule matching
+    the run's weighted position moments 0, 1 AND 2 (its third CENTRAL
+    moment is also zero by symmetry).  Evaluations per original sample =
+    1/stride, exactly the cost of the centroid fold at the same stride,
+    with error one polynomial order higher (O(h^3) vs O(h^2) in the run
+    span for smooth light fields L).
+
+    Geometry: a lane's samples lie on one ray, so positions are collinear
+    and the weighted stddev vector is recovered exactly even across
+    selection gaps: per-axis variance gives |sigma| (positions are
+    rebased to the run's first sample before squaring, so f32 moment
+    cancellation is on O(run-span) values, not O(volume-extent) ones)
+    and the sign comes from the covariance with the in-run slot index,
+    which is monotone in t.  Zero-weight runs keep the run's first
+    sample position twice with weight 0 (they contribute nothing).
+    """
+    R = 2 * stride
+    Cp, Rc = band.weight.shape
+    pad = (-Cp) % R
+
+    def runs(a):
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        return a.reshape((Cp + pad) // R, R, Rc)
+
+    w = runs(band.weight)
+    ws = jnp.sum(w, axis=1)
+    inv = 1.0 / jnp.maximum(ws, 1e-30)
+    live = ws > 0.0
+    idx = jnp.arange(R, dtype=jnp.float32)[None, :, None]
+    i_bar = jnp.sum(w * idx, axis=1) * inv
+
+    var_sum = 0.0
+    covs, mus, firsts = [], [], []
+    for plane in (band.wx, band.wy, band.wz):
+        r = runs(plane)
+        rel = r - r[:, :1, :]
+        mu_rel = jnp.sum(w * rel, axis=1) * inv
+        var = jnp.maximum(
+            jnp.sum(w * rel * rel, axis=1) * inv - mu_rel * mu_rel, 0.0
+        )
+        cov = jnp.sum(w * rel * idx, axis=1) * inv - mu_rel * i_bar
+        var_sum = var_sum + var
+        covs.append(cov)
+        mus.append(r[:, 0, :] + mu_rel)
+        firsts.append(r[:, 0, :])
+
+    sigma = jnp.sqrt(var_sum)
+    cnorm = jnp.sqrt(covs[0] ** 2 + covs[1] ** 2 + covs[2] ** 2)
+    scale = sigma / jnp.maximum(cnorm, 1e-30)
+
+    C2 = 2 * ws.shape[0]
+    pad8 = (-C2) % 8
+
+    def two_points(axis_i):
+        off = covs[axis_i] * scale
+        lo = jnp.where(live, mus[axis_i] - off, firsts[axis_i])
+        hi = jnp.where(live, mus[axis_i] + off, firsts[axis_i])
+        out = jnp.stack([lo, hi], axis=1).reshape(C2, Rc)
+        return jnp.pad(out, ((0, pad8), (0, 0))) if pad8 else out
+
+    wh = ws * 0.5
+    w2 = jnp.stack([wh, wh], axis=1).reshape(C2, Rc)
+    return PlaneBand(
+        wx=two_points(0),
+        wy=two_points(1),
+        wz=two_points(2),
+        weight=jnp.pad(w2, ((0, pad8), (0, 0))) if pad8 else w2,
+        lane_need=((band.lane_need + R - 1) // R) * 2,
+    )
+
+
+def decimate_view(
+    view: CompactView, stride: int, fold: str = "centroid"
+) -> CompactView:
+    """Apply the configured fold to every band of a CompactView (inv_map/
+    src are per-RAY structures — decimation only folds the sample axis)."""
     if stride <= 1:
         return view
+    fold_fn = _decimate_band_gauss2 if fold == "gauss2" else _decimate_band
     return CompactView(
-        bands=tuple(_decimate_band(b, stride) for b in view.bands),
+        bands=tuple(fold_fn(b, stride) for b in view.bands),
         inv_map=view.inv_map, src=view.src,
         n_rays=view.n_rays, rows=view.rows,
     )
@@ -872,7 +951,8 @@ def build_compact_view_device(
         n_rays=n_rays, rows=rows,
     )
     if config.gather_stride > 1:
-        view = decimate_view(view, int(config.gather_stride))
+        view = decimate_view(view, int(config.gather_stride),
+                             fold=config.gather_fold)
     return view
 
 

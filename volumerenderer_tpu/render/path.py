@@ -497,7 +497,7 @@ def _walk_segment(grid, params, config, lut, S, light_local,
 
 
 def _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
-                    march_cell=1):
+                    march_cell=1, key_mode="cells"):
     """Per-ray upper bound on the _walk_chunk block trip count.
 
     The chunk ``while_loop`` runs to the SLOWEST ray in the chunk
@@ -519,7 +519,10 @@ def _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
         exits only (always-cheap arithmetic): a correlation proxy for
         the trip count (empty space along the span is invisible to it).
 
-    Dead rays key to INT32_MAX, placing them after every alive ray."""
+    ``key_mode`` ("cells"/"span", resolved from StaticConfig.path_sort_key
+    by _sorted_compact) picks between them; "cells" still falls back to
+    span when the packed select doesn't apply.  Dead rays key to
+    INT32_MAX, placing them after every alive ray."""
     from ..grid.dense import _OCC_SELECT_MAX_TERMS
     from ..ops.march import _select_cells
 
@@ -535,7 +538,7 @@ def _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
     X, Y, Z = grid.brick_occ_dil.shape
     packed_select = X * Y * (-(-Z // 32)) <= _OCC_SELECT_MAX_TERMS
     C = march_cell
-    if C > 1 and packed_select:
+    if C > 1 and packed_select and key_mode == "cells":
         sel_c, _ = _select_cells(
             grid, o, d, t0, stop_t, alive,
             step_size=step, max_steps=S, cell=C,
@@ -555,15 +558,19 @@ def _sorted_compact(grid, params, config, S, o, d, tmax, alive,
     first ``count`` slots are the alive rays, cheapest chunks first.
     Tiled over probe_tile so the cell-endpoint temporaries stay small."""
     n = o.shape[0]
+    key_mode = config.path_sort_key
+    if key_mode == "auto":
+        key_mode = "cells" if n <= config.path_compact_min * 16 else "span"
     tile = _chunk_for(n, config.probe_tile)
     if tile == n:
         key = _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
-                              march_cell=march_cell)
+                              march_cell=march_cell, key_mode=key_mode)
     else:
         m = n // tile
         key = jax.lax.map(
             lambda args: _chunk_cost_key(grid, params, config, S, *args,
-                                         march_cell=march_cell),
+                                         march_cell=march_cell,
+                                         key_mode=key_mode),
             (o.reshape(m, tile, 3), d.reshape(m, tile, 3),
              tmax.reshape(m, tile), alive.reshape(m, tile)),
         ).reshape(n)
@@ -626,39 +633,54 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
     lanes = jnp.arange(W, dtype=jnp.int32)
 
     for _k in range(2, config.max_path_segments + 1):
-        if config.path_sort_chunks:
-            idx = _sorted_compact(grid, params, config, S, o, d, tmax,
-                                  alive, march_cell=march_cell)
-        else:
-            idx, _valid = _compact_indices(alive, n_pad)
+        # The whole segment — compaction, sort key, chunk walk — sits
+        # under a count>0 cond: once every ray is resolved the remaining
+        # segments cost one reduction each (measured 59 ms/segment of
+        # pure full-width sort/compact overhead at 1080p otherwise).
         count = jnp.sum(alive.astype(jnp.int32))
-        n_chunks = (count + W - 1) // W
 
-        def body(carry):
-            j, color, o, d, seed_draws, alive = carry
-            idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
-            row_valid = (j * W + lanes) < count
-            take = lambda a: jnp.take(a, idc, axis=0, mode="clip")
-            dc, o2, d2, sd2, al2 = _walk_chunk(
-                grid, params, config, lut, S, light_local,
-                take(o), take(d), take(seed0), take(seed_draws),
-                take(tmax), take(alive) & row_valid,
-                march_cell=march_cell,
-            )
-            # Scatter back; padding rows are routed out of bounds and
-            # dropped (a duplicate in-bounds write would race row 0).
-            up = jnp.where(row_valid, idc, n_pad)
-            put = lambda a, v: a.at[up].set(v, mode="drop")
-            return (
-                j + 1,
-                color.at[up].add(jnp.where(row_valid, dc, 0.0), mode="drop"),
-                put(o, o2), put(d, d2), put(seed_draws, sd2),
-                put(alive, al2),
-            )
+        def segment_pass(args):
+            color, o, d, seed_draws, alive = args
+            if config.path_sort_chunks:
+                idx = _sorted_compact(grid, params, config, S, o, d, tmax,
+                                      alive, march_cell=march_cell)
+            else:
+                idx, _valid = _compact_indices(alive, n_pad)
+            n_chunks = (count + W - 1) // W
 
-        _, color, o, d, seed_draws, alive = jax.lax.while_loop(
-            lambda c: c[0] < n_chunks, body,
-            (jnp.zeros((), jnp.int32), color, o, d, seed_draws, alive),
+            def body(carry):
+                j, color, o, d, seed_draws, alive = carry
+                idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
+                row_valid = (j * W + lanes) < count
+                take = lambda a: jnp.take(a, idc, axis=0, mode="clip")
+                dc, o2, d2, sd2, al2 = _walk_chunk(
+                    grid, params, config, lut, S, light_local,
+                    take(o), take(d), take(seed0), take(seed_draws),
+                    take(tmax), take(alive) & row_valid,
+                    march_cell=march_cell,
+                )
+                # Scatter back; padding rows are routed out of bounds and
+                # dropped (a duplicate in-bounds write would race row 0).
+                up = jnp.where(row_valid, idc, n_pad)
+                put = lambda a, v: a.at[up].set(v, mode="drop")
+                return (
+                    j + 1,
+                    color.at[up].add(
+                        jnp.where(row_valid, dc, 0.0), mode="drop"
+                    ),
+                    put(o, o2), put(d, d2), put(seed_draws, sd2),
+                    put(alive, al2),
+                )
+
+            _, color, o, d, seed_draws, alive = jax.lax.while_loop(
+                lambda c: c[0] < n_chunks, body,
+                (jnp.zeros((), jnp.int32), color, o, d, seed_draws, alive),
+            )
+            return (color, o, d, seed_draws, alive)
+
+        color, o, d, seed_draws, alive = jax.lax.cond(
+            count > 0, segment_pass, lambda a: a,
+            (color, o, d, seed_draws, alive),
         )
     return color
 
@@ -767,7 +789,10 @@ def render_frame(
                  sd2.reshape(n_pad), tmax.reshape(n_pad), al2.reshape(n_pad))
     else:
         n_pad = cache.o_i.shape[0]
-        tile = _chunk_for(n_pad, config.ray_tile)  # divisor of the bake pad
+        # Cached seg1 is fetch-free VPU replay: wide tiles, few dispatches
+        # (StaticConfig.path_cached_tile; must divide the bake pad).
+        tile = _chunk_for(n_pad, max(config.path_cached_tile,
+                                     config.ray_tile))
         seeds = _seeds(W, rows, row_start, frame_count, n_pad)
         m = n_pad // tile
         r3 = lambda a: a.reshape(m, tile, 3)
@@ -832,7 +857,8 @@ def render_frames(
     light_local = grid.world_to_index(params.light_source_world_pos)
 
     n_pad = cache.o_i.shape[0]
-    tile = _chunk_for(n_pad, config.ray_tile)  # divisor of the bake pad
+    # Wide fetch-free replay tiles, as in render_frame's cached branch.
+    tile = _chunk_for(n_pad, max(config.path_cached_tile, config.ray_tile))
     m = n_pad // tile
     r3 = lambda a: a.reshape(m, tile, 3)
     r1 = lambda a: a.reshape(m, tile)
