@@ -235,3 +235,49 @@ def test_path_corrected_matches_oracle():
                            max_segments=config.max_path_segments,
                            fidelity="corrected")
     np.testing.assert_allclose(frame, want, rtol=5e-3, atol=5e-5)
+
+
+def test_path_stride_light_term_keeps_original_step():
+    """path_stride fast tier (StaticConfig.path_stride, PARITY #23): the
+    march coarsens but the single-light term derives its probe point and
+    attenuation count from ``light_step`` — the ORIGINAL step — so it is
+    bit-equal to the exact tier's term at the same sample positions."""
+    g, params, config = _bigger_scene()
+    light_local = g.world_to_index(params.light_source_world_pos)
+    rs = np.random.RandomState(7)
+    pos = jnp.asarray(rs.rand(64, 3) * 18.0, jnp.float32)
+    want = path._light_term_reference(g, pos, light_local, params)
+    scaled = params.replace(
+        ray_marching_step_size=params.ray_marching_step_size * 3.0)
+    got = path._light_term_reference(
+        g, pos, light_local, scaled,
+        light_step=params.ray_marching_step_size)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_path_stride_cached_matches_inline():
+    """The stride tier's cached replay == its inline render (the
+    light_step threading is consistent through bake/seg1/walk)."""
+    import dataclasses
+
+    g, params, config = _bigger_scene(path_compact_min=64)
+    k = 2
+    light_step = params.ray_marching_step_size
+    p_eff = params.replace(
+        ray_marching_step_size=light_step * float(k),
+        scattering_probability=(
+            1.0 - (1.0 - params.scattering_probability) ** k),
+    )
+    steps = color.required_march_steps(
+        g, float(light_step) * k, config.max_march_steps)
+    cache = path.bake_path_view(g, p_eff, config, steps,
+                                shadow_lut_radius=1, light_step=light_step)
+    for fc in (1, 3):
+        inline = np.asarray(path.render_frame(
+            g, p_eff, fc, config, steps, shadow_lut_radius=1,
+            light_step=light_step))
+        cached = np.asarray(path.render_frame(
+            g, p_eff, fc, config, steps, shadow_lut_radius=1,
+            cache=cache, light_step=light_step))
+        np.testing.assert_array_equal(cached, inline)
+        assert np.isfinite(inline).all()

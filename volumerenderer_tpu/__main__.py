@@ -15,9 +15,12 @@ procedural cloud stands in for the reference's bunny asset.
 ``--fast`` selects the BENCHMARKS.md performance tier: "off" (default)
 is reference bit-parity term order; "paired" is the reassociation-only
 fast mode (paired divides + the analytic segment integrals, closed-form
-Beam rule — PARITY #9/#15); "decimated" adds gather_stride=2 (the
-quantified approximation tier, PARITY #22).  ``--motion`` (view only)
-picks the mid-drag preview mode (PARITY #18; default "coarse").
+Beam rule — PARITY #9/#15); "decimated" adds gather_stride=3 for the
+gather algorithms AND path_stride=3 for PATH (the quantified
+approximation tier, PARITY #22/#23 — every algorithm's measured 1080p
+point clears 50 Mrays/s at SSIM >= 0.99 except PATH, whose tier is its
+own quantified point).  ``--motion`` (view only) picks the mid-drag
+preview mode (PARITY #18; default "coarse").
 """
 
 from __future__ import annotations
@@ -25,6 +28,28 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+
+
+def _enable_compile_cache() -> str:
+    """Point JAX's persistent compilation cache at a stable per-user
+    location so ``warmup`` pre-compiles survive into later runs and any
+    rerun skips the 20-40 s first-compile (VOLUMERENDERER_TPU_CACHE
+    overrides; the scripts/bench harnesses use the repo-local
+    .jax_cache)."""
+    import os
+
+    import jax
+
+    path = os.environ.get(
+        "VOLUMERENDERER_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "volumerenderer_tpu", "jax"),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path
 
 
 def _make_renderer(args, algorithm=None):
@@ -43,7 +68,11 @@ def _make_renderer(args, algorithm=None):
         cfg.update(gather_eval="paired", segment_eval="paired",
                    segment_mode="analytic", beam_quadrature_rule="closed")
     if fast == "decimated":
-        cfg.update(gather_stride=2)
+        # The quantified approximation tier: stride-3 folds measured past
+        # BOTH halves of the bar for every gather algorithm — Beam (the
+        # binding case) 70.8 Mrays/s at SSIM 0.99322 @1080p — and
+        # path_stride=3 is PATH's analogue (quality in BENCHMARKS.md).
+        cfg.update(gather_stride=3, path_stride=3)
     config = StaticConfig(width=args.size, height=args.size, **cfg)
     algo = Algorithm[args.algorithm] if algorithm is None else algorithm
     return Renderer(g, config, params, algorithm=algo)
@@ -84,11 +113,38 @@ def _cmd_bench(args) -> int:
     return _cmd_render(args)
 
 
+def _cmd_warmup(args) -> int:
+    """Pre-compile the programs a ``view``/``render`` session at this
+    configuration will dispatch — uncached first frame, view build,
+    cached step, and the frame_batch-batched step — into the persistent
+    compilation cache, so a later cold process shows pixels in seconds
+    (VERDICT r4 #6: the reference app shows pixels immediately,
+    src/main.cpp:1217-1227; XLA's first compile is the TPU-side cost
+    this amortizes)."""
+    t0 = time.time()
+    r = _make_renderer(args)
+    r.first_frame_uncached = True  # compile the viewer's TTFF program too
+    print(f"[warmup] renderer ready at {time.time()-t0:.1f}s", flush=True)
+    r.step(1)  # uncached first-frame program
+    float(r.image().max())
+    print(f"[warmup] first (uncached) frame at {time.time()-t0:.1f}s",
+          flush=True)
+    r.step(1)  # view build + cached step
+    float(r.image().max())
+    print(f"[warmup] view built + cached step at {time.time()-t0:.1f}s",
+          flush=True)
+    r.step(max(2, r.frame_batch))  # batched dispatch
+    float(r.image().max())
+    print(f"[warmup] batched step at {time.time()-t0:.1f}s; cache primed",
+          flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m volumerenderer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", _cmd_render), ("view", _cmd_view),
-                     ("bench", _cmd_bench)):
+                     ("bench", _cmd_bench), ("warmup", _cmd_warmup)):
         p = sub.add_parser(name)
         p.set_defaults(fn=fn)
         if name != "bench":
@@ -108,6 +164,7 @@ def main(argv=None) -> int:
                            choices=["off", "coarse", "truncated"],
                            help="mid-drag preview mode (PARITY #18)")
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

@@ -198,7 +198,7 @@ class StaticConfig:
     #                polynomial order more accurate for smooth light
     #                fields (measured per algorithm in BENCHMARKS.md).
     gather_fold: str = "centroid"
-    gather_impl: str = "auto"  # "auto" | "mxu" | "xla" | "mxu_interpret"
+    gather_impl: str = "auto"  # {auto,mxu,xla,vpu} x optional "_interpret"
     fidelity: Fidelity = Fidelity.REFERENCE
     interpolation: str = "nearest"  # "trilinear" = smoother (extension)
     # Ray/VRL + Beam/VBL sub-light handling:
@@ -260,13 +260,21 @@ class StaticConfig:
     # at small image sizes.
     path_compact_min: int = 4096
     # Ray-tile width for the CACHED camera segment (render.path
-    # _seg1_frame over a baked PathView): unlike the bake, the cached
-    # pass does zero volume fetches — it is pure VPU replay over
-    # (tile, S) planes — so it can run far wider tiles than the z-row
-    # budgeted ray_tile.  At 1080p the 16384-wide map is 127 sequential
-    # dispatches (~56 ms of which is per-dispatch overhead); 131072 cuts
-    # it to 16.
-    path_cached_tile: int = 131072
+    # _seg1_frame over a baked PathView): the cached pass does zero
+    # volume fetches — pure VPU replay over (tile, S) planes — so the
+    # tile trades dispatch count against per-tile working set.  History:
+    # round 4 measured ~1.5 ms/dispatch on the remote path and set this
+    # to 131072 (but the 1080p bake pad was 127 x 16384, 127 PRIME, so
+    # _chunk_for silently fell back to 16384 and the wide tile never
+    # ran); round 5's environment dispatches at ~0.16 ms and the narrow
+    # tile is measurably FASTER than wide (92.8 vs 123.8 ms zero-scatter
+    # frame at 1080p — big (131072, S) replay tiles lose on fusion
+    # locality; scripts/probe_path_replay.py).  The bake pads the
+    # PathView to a multiple of this target so the configured tile
+    # actually materializes.  Used directly (ADVICE r4): values below
+    # ray_tile shrink the (tile, S) replay temporaries at large S;
+    # 0 falls back to ray_tile.
+    path_cached_tile: int = 16384
     # Width of the fixed-shape chunks that walk the compacted alive-ray
     # list (render.path._scatter_segments): smaller = less padding waste
     # on the last chunk, larger = fewer sequential loop iterations.
@@ -311,6 +319,22 @@ class StaticConfig:
     # (grid.dense._occ_table_lookup) flipped the trade — 40.3 vs 43.3
     # ms/frame, identical checksums — so it now defaults on.
     path_march_cell: int = 0
+    # PATH march decimation (approximate FAST tier — the PATH analogue
+    # of gather_stride, VERDICT r4 #8): march the camera segment AND the
+    # scatter segments at ``path_stride x ray_marching_step_size`` with
+    # the scatter roll probability adjusted to p' = 1 - (1-p)^stride
+    # (matches the expected number of scatter events per unit length,
+    # since the reference rolls independently per step) and every
+    # occupied sample contributing val * (stride*step) * light_term (the
+    # coarser Riemann sum of the same in-scatter integral — brightness
+    # preserving for smooth fields, like motion_mode="coarse").  The
+    # single-light term itself KEEPS reference semantics at the ORIGINAL
+    # step (probe point and attenuation count are step-derived and stay
+    # exact; the shadow LUT stays valid at any stride).  Volume fetches,
+    # RNG rolls, and replay sites all drop ~stride x.  NOT bit-parity
+    # (different RNG sites); quality quantified in BENCHMARKS.md.
+    # 1 = off (default, bit-parity).
+    path_stride: int = 1
     # PATH shadow-probe LUT (render.path): the REFERENCE-fidelity light
     # term reads one voxel within ``step`` of the light, replaceable by a
     # (2R+1)^3 arithmetic-select LUT with R = ceil(step) — bit-exact, no
@@ -332,6 +356,40 @@ class StaticConfig:
     probe_tile: int = 262144
     build_tile: int = 65536
     accum_dtype: str = "float32"  # reference accumulates in rgba8; see state
+
+    def __post_init__(self):
+        # Mode strings compared with `==` downstream would otherwise fall
+        # back silently on a typo (e.g. gather_fold="gauss" would measure
+        # the centroid fold; an unknown path_sort_key behaves as "span") —
+        # a misconfigured benchmark would quietly time the wrong tier.
+        _allowed = {
+            "gather_fold": {"centroid", "gauss2"},
+            "path_sort_key": {"auto", "cells", "span"},
+            "motion_mode": {"off", "coarse", "truncated"},
+            "compact_build": {"auto", "host", "device"},
+            "segment_mode": {"discrete", "discrete_expanded", "analytic"},
+            "segment_eval": {"exact", "paired"},
+            "gather_eval": {"exact", "paired"},
+            "beam_quadrature_rule": {"midpoint", "tangent", "closed"},
+            # base impl x optional interpret-mode suffix (ops.gather
+            # strips "_interpret" and requires the base below).
+            "gather_impl": {
+                b + s
+                for b in ("auto", "mxu", "xla", "vpu")
+                for s in ("", "_interpret")
+            },
+            "interpolation": {"nearest", "trilinear"},
+        }
+        for field, ok in _allowed.items():
+            v = getattr(self, field)
+            if v not in ok:
+                raise ValueError(
+                    f"StaticConfig.{field}={v!r} — must be one of {sorted(ok)}"
+                )
+        if self.path_stride < 1:
+            raise ValueError("StaticConfig.path_stride must be >= 1")
+        if self.gather_stride < 1:
+            raise ValueError("StaticConfig.gather_stride must be >= 1")
 
     @property
     def photon_grid(self):

@@ -74,6 +74,21 @@ class Renderer:
         self._view_key = None
         # In-flight progressive settle rebuild (see _settle_step).
         self._settle = None
+        # Time-to-first-frame (VERDICT r4 #6): when True, a VIRGIN
+        # renderer presents frame 1 through the plain uncached step — one
+        # compiled program (march + gather fused) instead of the
+        # view-build + cached-step pair, so cold-start pixels appear
+        # after ~one XLA compile; the view builds before frame 2 as
+        # usual.  OFF by default: frame 1 then differs from the cached
+        # path by reduction order (up to ~1e-2 absolute at golden scenes
+        # — different kernels sum lights in different orders), and a drag
+        # before frame 2 takes the blocking build (no view key yet).  The
+        # interactive viewer opts in — the one surface where cold
+        # time-to-first-pixels is user-visible; the first compiled
+        # program is then reused by every coarse drag frame (params are
+        # traced).
+        self.first_frame_uncached = False
+        self._ttff_done = False  # one-shot: only the very first frame
         # PATH's baked camera segment (render.path.PathView) — keyed like
         # the ViewCache plus the light fields its prefix bakes in.
         self._path_view = None
@@ -212,17 +227,44 @@ class Renderer:
         r = math.ceil(float(self.params.ray_marching_step_size))
         return r if 0 < r <= self.config.shadow_lut_max_radius else 0
 
-    def _make_path_view_key(self, max_steps: int, lut_radius: int):
+    def _path_effective(self, max_steps: int):
+        """The path_stride fast tier's effective (params, light_step,
+        max_steps): the march step scales by the stride, the roll
+        probability becomes 1 - (1-p)^stride (expected scatter events per
+        unit length are preserved — the reference rolls independently per
+        step, light_gen-style, path_compute_color.comp:96), and the light
+        term keeps the ORIGINAL step via ``light_step`` (so the shadow
+        LUT and the attenuation count stay exact at any stride).
+        stride 1 returns the params untouched (bit-parity default)."""
+        k = self.config.path_stride
+        if k <= 1:
+            return self.params, None, max_steps
+        step0 = self.params.ray_marching_step_size
+        p0 = self.params.scattering_probability
+        params = self.params.replace(
+            ray_marching_step_size=step0 * float(k),
+            scattering_probability=1.0 - (1.0 - p0) ** k,
+        )
+        steps = required_march_steps(
+            self.grid,
+            float(self.params.ray_marching_step_size) * k,
+            self.config.max_march_steps,
+        )
+        return params, step0, min(steps, max_steps)
+
+    def _make_path_view_key(self, max_steps: int, lut_radius: int,
+                            params: RenderParams | None = None):
+        p = self.params if params is None else params
         return (
-            tuple(np.asarray(self.params.camera_pos, np.float32).tolist()),
-            tuple(np.asarray(self.params.camera_rotation).reshape(-1).tolist()),
-            float(self.params.fov),
-            float(self.params.ray_max_distance),
-            float(self.params.ray_marching_step_size),
-            float(self.params.absorption_coefficient),
-            tuple(np.asarray(self.params.light_source_world_pos,
+            tuple(np.asarray(p.camera_pos, np.float32).tolist()),
+            tuple(np.asarray(p.camera_rotation).reshape(-1).tolist()),
+            float(p.fov),
+            float(p.ray_max_distance),
+            float(p.ray_marching_step_size),
+            float(p.absorption_coefficient),
+            tuple(np.asarray(p.light_source_world_pos,
                              np.float32).tolist()),
-            float(self.params.photon_initial_intensity),
+            float(p.photon_initial_intensity),
             self.config.width,
             self.config.height,
             max_steps,
@@ -231,18 +273,23 @@ class Renderer:
             self._grid_token,
         )
 
-    def _current_path_view(self, max_steps: int, lut_radius: int):
+    def _current_path_view(self, max_steps: int, lut_radius: int,
+                           params: RenderParams | None = None,
+                           light_step=None):
         """The baked PATH camera segment for the current scene — the
         ViewCache dependency key plus every field the contribution prefix
         bakes in (light position/intensity; scattering probability and
-        frame counter stay per-frame)."""
-        key = self._make_path_view_key(max_steps, lut_radius)
+        frame counter stay per-frame).  ``params``: the path_stride-scaled
+        effective params (None = self.params)."""
+        p = self.params if params is None else params
+        key = self._make_path_view_key(max_steps, lut_radius, params=p)
         if key != self._path_view_key:
             self._path_view = None
             self._path_view_key = None
             self._path_view = bake_path_view_step(
-                self.grid, self.params, config=self.config,
+                self.grid, p, config=self.config,
                 max_steps=max_steps, shadow_lut_radius=lut_radius,
+                light_step=light_step,
             )
             self._path_view_key = key
         return self._path_view
@@ -568,6 +615,9 @@ class Renderer:
     def step(self, n: int = 1) -> RenderState:
         max_steps = self._max_steps
         if self.algorithm is Algorithm.PATH:
+            # path_stride fast tier: scaled march step + roll probability,
+            # original step for the light term (see _path_effective).
+            p_eff, light_step, max_steps = self._path_effective(max_steps)
             lut_r = self._shadow_lut_radius()
             # Scatter-segment empty-space skipping: default 0 = auto-derive
             # the largest exact cell as the camera view build does
@@ -579,7 +629,7 @@ class Renderer:
                 cell = max(
                     1,
                     int(8.0 // max(
-                        float(self.params.ray_marching_step_size), 1e-6)),
+                        float(p_eff.ray_marching_step_size), 1e-6)),
                 )
             cache_bytes = (
                 self.config.width * self.config.height * max_steps * 5
@@ -593,7 +643,8 @@ class Renderer:
                 # rebuild (coarse mode only: the truncated short-cap
                 # build is a CompactView construct with no PATH
                 # counterpart).
-                key = self._make_path_view_key(max_steps, lut_r)
+                key = self._make_path_view_key(max_steps, lut_r,
+                                               params=p_eff)
                 moving = (
                     self.config.motion_mode == "coarse"
                     and self._path_view_key is not None
@@ -605,33 +656,57 @@ class Renderer:
                 self._last_path_step_key = key
                 if moving:
                     return self._motion_steps(n, max_steps)
-                cache = self._current_path_view(max_steps, lut_r)
+                if (
+                    self.first_frame_uncached
+                    and not self._ttff_done
+                    and self._path_view is None
+                    and self._path_view_key is None
+                ):
+                    # TTFF: virgin session presents frame 1 through the
+                    # uncached program before paying the bake (__init__).
+                    self._ttff_done = True
+                    self.state, self.lights = render_step(
+                        self.grid, p_eff, self.state,
+                        algorithm=self.algorithm, config=self.config,
+                        max_steps=max_steps,
+                        gather_samples=self.gather_samples,
+                        shadow_lut_radius=lut_r, march_cell=cell,
+                        light_step=light_step,
+                    )
+                    n -= 1
+                    if n <= 0:
+                        return self.state
+                cache = self._current_path_view(max_steps, lut_r,
+                                                params=p_eff,
+                                                light_step=light_step)
                 remaining = n
                 while remaining > 0:
                     k = (self.path_frame_batch
                          if remaining >= self.path_frame_batch else 1)
                     if k == 1:
                         self.state, self.lights = render_path_step_cached(
-                            self.grid, self.params, self.state, cache,
+                            self.grid, p_eff, self.state, cache,
                             config=self.config, max_steps=max_steps,
                             shadow_lut_radius=lut_r, march_cell=cell,
+                            light_step=light_step,
                         )
                     else:
                         self.state, self.lights = render_path_steps_cached(
-                            self.grid, self.params, self.state, cache,
+                            self.grid, p_eff, self.state, cache,
                             config=self.config, max_steps=max_steps,
                             n_frames=k, shadow_lut_radius=lut_r,
-                            march_cell=cell,
+                            march_cell=cell, light_step=light_step,
                         )
                     remaining -= k
             else:
                 for _ in range(n):
                     self.state, self.lights = render_step(
-                        self.grid, self.params, self.state,
+                        self.grid, p_eff, self.state,
                         algorithm=self.algorithm, config=self.config,
                         max_steps=max_steps,
                         gather_samples=self.gather_samples,
                         shadow_lut_radius=lut_r, march_cell=cell,
+                        light_step=light_step,
                     )
             return self.state
         cached = self.use_view_cache
@@ -659,6 +734,26 @@ class Renderer:
                 # exact view progressively (one row chunk per tick, coarse
                 # frames in between) instead of one blocking hitch.
                 if not self._settle_step(key, max_steps, n):
+                    return self.state
+            if (
+                self.first_frame_uncached
+                and not self._ttff_done
+                and self._view is None
+                and self._view_key is None
+                and self._settle is None
+            ):
+                # TTFF: virgin session presents frame 1 through the plain
+                # uncached program — one compile before first pixels
+                # instead of the view-build + cached-step pair (__init__).
+                self._ttff_done = True
+                self.state, self.lights = render_step(
+                    self.grid, self.params, self.state,
+                    algorithm=self.algorithm, config=self.config,
+                    max_steps=max_steps,
+                    gather_samples=self.gather_samples,
+                )
+                n -= 1
+                if n <= 0:
                     return self.state
             view = self._current_view(max_steps)
             remaining = n

@@ -40,12 +40,16 @@ def render_step(
     gather_samples: int = 0,
     shadow_lut_radius: int = 0,
     march_cell: int = 1,
+    light_step=None,
 ):
     """Advance one frame: returns (new_state, lights).
 
     Order matches drawFrame: frameCount++ first (src/main.cpp:712), clear on
     frame 1 (:731-808), regenerate lights every frame (counter fill :722-728
     — lights are NOT persisted across frames), render, accumulate.
+
+    ``light_step``: PATH only — the original step for the light term when
+    ``params`` carries a path_stride-scaled march step (render.path).
     """
     frame_count = state.frame_count + 1
     accum = jnp.where(frame_count == 1, 0.0, state.accum)
@@ -55,6 +59,7 @@ def render_step(
         frame = path_mod.render_frame(
             grid, params, frame_count, config, max_steps,
             shadow_lut_radius=shadow_lut_radius, march_cell=march_cell,
+            light_step=light_step,
         )
     else:
         lights = photon.generate_lights(
@@ -321,12 +326,13 @@ def bake_path_view_step(
     config: StaticConfig,
     max_steps: int,
     shadow_lut_radius: int = 0,
+    light_step=None,
 ):
     """Bake PATH's frame-invariant camera-segment planes
     (render.path.bake_path_view) once per camera/volume/light change."""
     return path_mod.bake_path_view(
         grid, params, config, max_steps,
-        shadow_lut_radius=shadow_lut_radius,
+        shadow_lut_radius=shadow_lut_radius, light_step=light_step,
     )
 
 
@@ -346,6 +352,7 @@ def render_path_step_cached(
     max_steps: int,
     shadow_lut_radius: int = 0,
     march_cell: int = 1,
+    light_step=None,
 ):
     """Steady-state PATH frame: camera segment from the baked PathView
     (RNG + prefix lookup, zero volume fetches), compacted scatter
@@ -356,7 +363,7 @@ def render_path_step_cached(
     frame = path_mod.render_frame(
         grid, params, frame_count, config, max_steps,
         shadow_lut_radius=shadow_lut_radius, cache=cache,
-        march_cell=march_cell,
+        march_cell=march_cell, light_step=light_step,
     )
     new_accum = accumulate(
         accum, frame, frame_count, quantize_u8=config.accum_dtype == "uint8"
@@ -381,6 +388,7 @@ def render_path_steps_cached(
     n_frames: int,
     shadow_lut_radius: int = 0,
     march_cell: int = 1,
+    light_step=None,
 ):
     """``n_frames`` steady-state PATH frames as ONE dispatch, scatter
     segments batched ACROSS frames (render.path.render_frames): per-op
@@ -391,6 +399,7 @@ def render_path_steps_cached(
     frames = path_mod.render_frames(
         grid, params, fcs, config, max_steps, cache,
         shadow_lut_radius=shadow_lut_radius, march_cell=march_cell,
+        light_step=light_step,
     )
     accum = state.accum
     for i in range(n_frames):

@@ -263,8 +263,13 @@ def _decimate_band_gauss2(band: PlaneBand, stride: int) -> PlaneBand:
     selection gaps: per-axis variance gives |sigma| (positions are
     rebased to the run's first sample before squaring, so f32 moment
     cancellation is on O(run-span) values, not O(volume-extent) ones)
-    and the sign comes from the covariance with the in-run slot index,
-    which is monotone in t.  Zero-weight runs keep the run's first
+    and the direction comes from the covariance with the in-run slot
+    index.  Lane samples may be weight-sorted rather than t-ordered
+    (compact_view's top_k), so that covariance only fixes an arbitrary
+    orientation ALONG the ray — which is all the rule needs: the +-off
+    pair is symmetric about the centroid, so flipping the sign swaps the
+    two evaluation points without changing their set, and |off| <= sigma
+    holds either way.  Zero-weight runs keep the run's first
     sample position twice with weight 0 (they contribute nothing).
     """
     R = 2 * stride

@@ -123,17 +123,24 @@ def _lut_lookup(probe, base, vals, radius: int):
     return out
 
 
-def _light_term_reference(grid, sample_local, light_local, params, lut=None):
+def _light_term_reference(grid, sample_local, light_local, params, lut=None,
+                          light_step=None):
     """Literal port of computeLightContribution (path_compute_color.comp:9-31).
 
     ``lut``: optional (base, vals, radius) shadow LUT — bit-equal to the
     gather (requires radius >= ceil(step); the engine guarantees it).
+    ``light_step``: the step size the LIGHT term derives its probe point
+    and attenuation count from — defaults to the march step; the
+    path_stride fast tier passes the ORIGINAL step here so the term (and
+    the LUT validity ball) stay exact while the march coarsens.
     """
+    step = (params.ray_marching_step_size if light_step is None
+            else light_step)
     ray_local = light_local - sample_local
     length = jnp.linalg.norm(ray_local, axis=-1)
     ray_dir = ray_local / jnp.where(length[..., None] > 0, length[..., None], 1.0)
-    n_steps = (length / params.ray_marching_step_size).astype(jnp.int32)
-    probe = light_local + ray_dir * params.ray_marching_step_size
+    n_steps = (length / step).astype(jnp.int32)
+    probe = light_local + ray_dir * step
     if lut is None:
         val = grid.sample_nearest(probe)
     else:
@@ -143,7 +150,7 @@ def _light_term_reference(grid, sample_local, light_local, params, lut=None):
     return (params.photon_initial_intensity / 10000.0) * jnp.exp(
         -val
         * params.absorption_coefficient
-        * params.ray_marching_step_size
+        * step
         * n_steps.astype(jnp.float32)
     )
 
@@ -218,9 +225,13 @@ def _light_term_corrected(grid, sample_local, light_local, params, n_shadow: int
     return (params.photon_initial_intensity / 10000.0) * jnp.exp(-od)
 
 
-def _light_term(grid, pos, light_local, params, config, lut, n_shadow):
+def _light_term(grid, pos, light_local, params, config, lut, n_shadow,
+                light_step=None):
     if config.fidelity is Fidelity.REFERENCE:
-        return _light_term_reference(grid, pos, light_local, params, lut)
+        return _light_term_reference(grid, pos, light_local, params, lut,
+                                     light_step=light_step)
+    # CORRECTED marches the light segment at the same (possibly strided)
+    # step as the camera march — a consistent coarsening.
     return _light_term_corrected(grid, pos, light_local, params, n_shadow)
 
 
@@ -268,7 +279,7 @@ def _pad_rays(o_i, d_i, tile):
 # segment 1: bake + consume
 
 
-def _seg1_planes(grid, params, config, lut, S, o, d):
+def _seg1_planes(grid, params, config, lut, S, o, d, light_step=None):
     """Frame-invariant planes for a tile of camera rays."""
     n = o.shape[0]
     step = params.ray_marching_step_size
@@ -285,7 +296,8 @@ def _seg1_planes(grid, params, config, lut, S, o, d):
     val = grid.sample_nearest(pos)
     light_local = grid.world_to_index(params.light_source_world_pos)
     roll_site = (val > 0.0) & live[:, None] & (t < tmax[:, None])
-    light_in = _light_term(grid, pos, light_local, params, config, lut, S)
+    light_in = _light_term(grid, pos, light_local, params, config, lut, S,
+                           light_step=light_step)
     d_c = jnp.where(roll_site, val * step * light_in, 0.0)
     prefix = jnp.cumsum(d_c, axis=-1)
     return tmin, tmax, live, roll_site, prefix
@@ -328,7 +340,8 @@ def _seg1_frame(params, S, o, d, tmin, tmax, live, roll_site, prefix, seed0):
 
 
 def _walk_chunk(grid, params, config, lut, S, light_local,
-                o, d, seed0, seed_draws, tmax, alive, march_cell=1):
+                o, d, seed0, seed_draws, tmax, alive, march_cell=1,
+                light_step=None):
     """One scatter segment for a chunk of rays: t0 = step (the reference
     resets currentT on scatter), march to the per-ray original tmax.
     Returns (d_color, origin', dir', seed_draws', alive').
@@ -420,7 +433,8 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
         # path_compute_color.comp:106-110).
         before = jnp.cumsum(scatter.astype(jnp.int32), axis=-1) - scatter
         contrib = roll_site & (before == 0) & ~found[:, None]
-        light_in = _light_term(grid, pos, light_local, params, config, lut, S)
+        light_in = _light_term(grid, pos, light_local, params, config, lut, S,
+                               light_step=light_step)
         color = color + jnp.sum(
             jnp.where(contrib, val * step * light_in, 0.0), axis=-1
         )
@@ -473,8 +487,20 @@ def _chunk_for(n: int, tile: int) -> int:
     return c
 
 
+def _cached_tile_target(config) -> int:
+    """Ray-tile target for the fetch-free cached replay.  Uses
+    path_cached_tile DIRECTLY (0/unset falls back to ray_tile) so the
+    knob can tune in BOTH directions — the old max(cached, ray_tile)
+    clamp made it impossible to configure a replay tile smaller than
+    ray_tile, removing the only lever on the (tile, S) replay
+    temporaries at large S (ADVICE r4)."""
+    return config.path_cached_tile if config.path_cached_tile > 0 \
+        else config.ray_tile
+
+
 def _walk_segment(grid, params, config, lut, S, light_local,
-                  o, d, seed0, seed_draws, tmax, alive, march_cell=1):
+                  o, d, seed0, seed_draws, tmax, alive, march_cell=1,
+                  light_step=None):
     """_walk_chunk tiled over ray chunks (bounds the (chunk, S) gather
     temporaries; n is a multiple of the chunk size by construction)."""
     n = o.shape[0]
@@ -482,13 +508,14 @@ def _walk_segment(grid, params, config, lut, S, light_local,
     if n == chunk:
         return _walk_chunk(grid, params, config, lut, S, light_local,
                            o, d, seed0, seed_draws, tmax, alive,
-                           march_cell=march_cell)
+                           march_cell=march_cell, light_step=light_step)
     m = n // chunk
     r3 = lambda a: a.reshape(m, chunk, 3)
     r1 = lambda a: a.reshape(m, chunk)
     out = jax.lax.map(
         lambda args: _walk_chunk(grid, params, config, lut, S, light_local,
-                                 *args, march_cell=march_cell),
+                                 *args, march_cell=march_cell,
+                                 light_step=light_step),
         (r3(o), r3(d), r3(seed0), r1(seed_draws), r1(tmax), r1(alive)),
     )
     dc, o2, d2, sd2, al2 = out
@@ -552,15 +579,29 @@ def _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
     return jnp.where(alive, blocks, jnp.iinfo(jnp.int32).max)
 
 
+# "auto" path_sort_key crossover, in PER-FRAME rays: "cells" measured
+# faster up to 512^2 (262144 rays), "span" at 1080p (2.07M) on v5e —
+# a dedicated constant, decoupled from path_compact_min (which tests
+# lower for unrelated coverage reasons; ADVICE r4).
+_PATH_SORT_CELLS_MAX_RAYS = 262144
+
+
 def _sorted_compact(grid, params, config, S, o, d, tmax, alive,
-                    march_cell=1):
+                    march_cell=1, n_frames=1):
     """Alive-ray compaction ordered by _chunk_cost_key (ascending): the
     first ``count`` slots are the alive rays, cheapest chunks first.
-    Tiled over probe_tile so the cell-endpoint temporaries stay small."""
+    Tiled over probe_tile so the cell-endpoint temporaries stay small.
+    ``n_frames``: render_frames concatenates F frames' states, so the
+    auto key normalizes by per-frame ray count (batching must not flip
+    the choice — the measured crossover is an image-size property)."""
     n = o.shape[0]
     key_mode = config.path_sort_key
     if key_mode == "auto":
-        key_mode = "cells" if n <= config.path_compact_min * 16 else "span"
+        key_mode = (
+            "cells"
+            if n // max(n_frames, 1) <= _PATH_SORT_CELLS_MAX_RAYS
+            else "span"
+        )
     tile = _chunk_for(n, config.probe_tile)
     if tile == n:
         key = _chunk_cost_key(grid, params, config, S, o, d, tmax, alive,
@@ -597,7 +638,8 @@ def _compact_indices(alive, cap):
 
 
 def _scatter_segments(grid, params, config, lut, S, light_local,
-                      seed0, state, march_cell=1):
+                      seed0, state, march_cell=1, n_frames=1,
+                      light_step=None):
     """Unrolled segments 2..max_path_segments, each marching only the
     alive rays (module docstring, level 3): compact the alive indices
     (cumsum + scatter, order-preserving), then a ``while_loop`` walks a
@@ -619,7 +661,7 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                 dc, o2, d2, sd2, al2 = _walk_segment(
                     grid, params, config, lut, S, light_local,
                     o, d, seed0, seed_draws, tmax, alive,
-                    march_cell=march_cell,
+                    march_cell=march_cell, light_step=light_step,
                 )
                 return (color + dc, o2, d2, sd2, al2)
 
@@ -632,6 +674,25 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
     W = _chunk_for(n_pad, max(32, config.path_chunk))
     lanes = jnp.arange(W, dtype=jnp.int32)
 
+    # Per-chunk state moves through ONE packed (n_pad, 13) f32 array —
+    # columns [o(3), d(3), bitcast(seed0)(3), bitcast(seed_draws), tmax,
+    # alive, color] — so each chunk is 1 row-gather + 1 row-scatter
+    # instead of 6 takes + 5 puts: the fetch-wall roofline charges ~12
+    # clocks PER ROW regardless of row width (BENCHMARKS.md), and the
+    # per-segment compaction traffic (~1.7M chunk-rows x 11 ops/frame at
+    # 1080p) was the walk's dominant stride-invariant cost (round-5
+    # probe_path_walkcost.py: stride 3 cut per-sample work 3x but the
+    # frame only moved 645 -> 497 ms).  Bit-exact: bitcasts round-trip
+    # u32 exactly; pack/unpack is elementwise bookkeeping.
+    _f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    _u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+
+    def _pack(o, d, seed_draws, alive, color):
+        return jnp.concatenate(
+            [o, d, _f32(seed0), _f32(seed_draws)[:, None], tmax[:, None],
+             alive.astype(jnp.float32)[:, None], color[:, None]], axis=1,
+        )
+
     for _k in range(2, config.max_path_segments + 1):
         # The whole segment — compaction, sort key, chunk walk — sits
         # under a count>0 cond: once every ray is resolved the remaining
@@ -643,40 +704,42 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
             color, o, d, seed_draws, alive = args
             if config.path_sort_chunks:
                 idx = _sorted_compact(grid, params, config, S, o, d, tmax,
-                                      alive, march_cell=march_cell)
+                                      alive, march_cell=march_cell,
+                                      n_frames=n_frames)
             else:
                 idx, _valid = _compact_indices(alive, n_pad)
             n_chunks = (count + W - 1) // W
+            pack = _pack(o, d, seed_draws, alive, color)
 
             def body(carry):
-                j, color, o, d, seed_draws, alive = carry
+                j, pack = carry
                 idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
                 row_valid = (j * W + lanes) < count
-                take = lambda a: jnp.take(a, idc, axis=0, mode="clip")
+                st = jnp.take(pack, idc, axis=0, mode="clip")
                 dc, o2, d2, sd2, al2 = _walk_chunk(
                     grid, params, config, lut, S, light_local,
-                    take(o), take(d), take(seed0), take(seed_draws),
-                    take(tmax), take(alive) & row_valid,
-                    march_cell=march_cell,
+                    st[:, 0:3], st[:, 3:6], _u32(st[:, 6:9]),
+                    _u32(st[:, 9]), st[:, 10],
+                    (st[:, 11] != 0.0) & row_valid,
+                    march_cell=march_cell, light_step=light_step,
+                )
+                st2 = jnp.concatenate(
+                    [o2, d2, st[:, 6:9], _f32(sd2)[:, None], st[:, 10:11],
+                     al2.astype(jnp.float32)[:, None],
+                     (st[:, 12] + jnp.where(row_valid, dc, 0.0))[:, None]],
+                    axis=1,
                 )
                 # Scatter back; padding rows are routed out of bounds and
                 # dropped (a duplicate in-bounds write would race row 0).
                 up = jnp.where(row_valid, idc, n_pad)
-                put = lambda a, v: a.at[up].set(v, mode="drop")
-                return (
-                    j + 1,
-                    color.at[up].add(
-                        jnp.where(row_valid, dc, 0.0), mode="drop"
-                    ),
-                    put(o, o2), put(d, d2), put(seed_draws, sd2),
-                    put(alive, al2),
-                )
+                return j + 1, pack.at[up].set(st2, mode="drop")
 
-            _, color, o, d, seed_draws, alive = jax.lax.while_loop(
+            _, pack = jax.lax.while_loop(
                 lambda c: c[0] < n_chunks, body,
-                (jnp.zeros((), jnp.int32), color, o, d, seed_draws, alive),
+                (jnp.zeros((), jnp.int32), pack),
             )
-            return (color, o, d, seed_draws, alive)
+            return (pack[:, 12], pack[:, 0:3], pack[:, 3:6],
+                    _u32(pack[:, 9]), pack[:, 11] != 0.0)
 
         color, o, d, seed_draws, alive = jax.lax.cond(
             count > 0, segment_pass, lambda a: a,
@@ -697,12 +760,15 @@ def bake_path_view(
     row_start=0,
     num_rows: int | None = None,
     shadow_lut_radius: int = 0,
+    light_step=None,
 ) -> PathView:
     """Bake the frame-invariant camera-segment planes (see PathView).
 
     Rebuild whenever camera/volume/march/light parameters change (the
     engine keys this); the scattering probability and frame counter are
-    per-frame inputs and are NOT baked.
+    per-frame inputs and are NOT baked.  ``light_step``: original step
+    for the light term under the path_stride fast tier (see
+    _light_term_reference).
     """
     S = max_steps
     o_i, d_i, rows = _camera_setup(grid, params, config, row_start, num_rows)
@@ -713,10 +779,11 @@ def bake_path_view(
     lut = _make_lut(grid, params, config, shadow_lut_radius)
     m = n_pad // tile
     tmin, tmax, live, roll_site, prefix = jax.lax.map(
-        lambda args: _seg1_planes(grid, params, config, lut, S, *args),
+        lambda args: _seg1_planes(grid, params, config, lut, S, *args,
+                                  light_step=light_step),
         (o_i.reshape(m, tile, 3), d_i.reshape(m, tile, 3)),
     )
-    return PathView(
+    view = PathView(
         o_i=o_i,
         d_i=d_i,
         tmin=tmin.reshape(n_pad),
@@ -725,6 +792,35 @@ def bake_path_view(
         roll_site=roll_site.reshape(n_pad, S),
         prefix=prefix.reshape(n_pad, S),
     )
+    # Pad the view to a multiple of the cached-replay tile target: the
+    # bake tile is z-row-budgeted (16384 at 1080p -> n_pad = 127 x 16384,
+    # 127 PRIME), so without this _chunk_for collapses the cached tile
+    # back to the bake tile and the fetch-free replay pays one dispatch
+    # round-trip per 16384 rays (127 sequential dispatches/frame measured
+    # as the bulk of the 468 ms replay floor).  Padding rows are
+    # live=False: no roll sites, zero prefix, never alive after seg1 —
+    # bit-identical frames (only op shapes change).  <= one tile of extra
+    # rows (~0.8% at 1080p); images at or under the target already run
+    # one dispatch and skip this.
+    target = _cached_tile_target(config)
+    if n_pad > target and n_pad % target:
+        extra = target - n_pad % target
+        pad1 = lambda a: jnp.pad(a, (0, extra))
+        pad2 = lambda a: jnp.pad(a, ((0, extra), (0, 0)))
+        view = PathView(
+            o_i=pad2(view.o_i),
+            d_i=jnp.concatenate(
+                [view.d_i,
+                 jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (extra, 3))],
+                axis=0,
+            ),
+            tmin=pad1(view.tmin),
+            tmax=pad1(view.tmax),
+            live=pad1(view.live),
+            roll_site=pad2(view.roll_site),
+            prefix=pad2(view.prefix),
+        )
+    return view
 
 
 def _make_lut(grid, params, config, shadow_lut_radius):
@@ -746,6 +842,7 @@ def render_frame(
     shadow_lut_radius: int = 0,
     cache: PathView | None = None,
     march_cell: int = 1,
+    light_step=None,
 ) -> jax.Array:
     """One PATH frame. Returns (num_rows, W) scalar radiance in [0, 1].
 
@@ -773,7 +870,7 @@ def render_frame(
         def tile_seg1(args):
             o, d, s0 = args
             tmin, tmax, live, roll_site, prefix = _seg1_planes(
-                grid, params, config, lut, S, o, d
+                grid, params, config, lut, S, o, d, light_step=light_step
             )
             out = _seg1_frame(params, S, o, d, tmin, tmax, live,
                               roll_site, prefix, s0)
@@ -790,9 +887,9 @@ def render_frame(
     else:
         n_pad = cache.o_i.shape[0]
         # Cached seg1 is fetch-free VPU replay: wide tiles, few dispatches
-        # (StaticConfig.path_cached_tile; must divide the bake pad).
-        tile = _chunk_for(n_pad, max(config.path_cached_tile,
-                                     config.ray_tile))
+        # (StaticConfig.path_cached_tile; the bake pads n_pad to a
+        # multiple of the target so the wide tile materializes).
+        tile = _chunk_for(n_pad, _cached_tile_target(config))
         seeds = _seeds(W, rows, row_start, frame_count, n_pad)
         m = n_pad // tile
         r3 = lambda a: a.reshape(m, tile, 3)
@@ -811,7 +908,7 @@ def render_frame(
     if config.max_path_segments > 1:
         color = _scatter_segments(
             grid, params, config, lut, S, light_local, seeds, state,
-            march_cell=march_cell,
+            march_cell=march_cell, light_step=light_step,
         )
     else:
         color = state[0]
@@ -834,6 +931,7 @@ def render_frames(
     num_rows: int | None = None,
     shadow_lut_radius: int = 0,
     march_cell: int = 1,
+    light_step=None,
 ) -> jax.Array:
     """``len(frame_counts)`` cached PATH frames in ONE program, with the
     scatter segments batched ACROSS frames.  Returns (F, rows, W).
@@ -858,7 +956,7 @@ def render_frames(
 
     n_pad = cache.o_i.shape[0]
     # Wide fetch-free replay tiles, as in render_frame's cached branch.
-    tile = _chunk_for(n_pad, max(config.path_cached_tile, config.ray_tile))
+    tile = _chunk_for(n_pad, _cached_tile_target(config))
     m = n_pad // tile
     r3 = lambda a: a.reshape(m, tile, 3)
     r1 = lambda a: a.reshape(m, tile)
@@ -889,7 +987,7 @@ def render_frames(
         cfgF = dataclasses.replace(config, path_chunk=config.path_chunk * F)
         colorF = _scatter_segments(
             grid, params, cfgF, lut, S, light_local, flat(seeds), state,
-            march_cell=march_cell,
+            march_cell=march_cell, n_frames=F, light_step=light_step,
         )
     else:
         colorF = state[0]
