@@ -53,6 +53,13 @@ class LightArray(NamedTuple):
     intensity: jax.Array  # (L,)
     valid: jax.Array  # (L,) bool
     count: jax.Array  # () int32 == lightCount after clamping
+    # () bool — some photon scattered with no free event slot, i.e. the
+    # max_events_per_photon budget TRUNCATED the light population (the
+    # reference's walk is unbounded up to the global maxLights clamp,
+    # light_gen.comp:51-87; PARITY #1 scale caveat).  The engine surfaces
+    # this as a one-time runtime warning (Renderer._maybe_warn_light_truncation) so
+    # production assets don't render quietly dimmer than the reference.
+    truncated: jax.Array
 
 
 def generate_lights(
@@ -182,9 +189,12 @@ def generate_lights(
         nd2 = rng.randf_at(carry["seed"], carry["n_draws"] + draws_used + 2)
         new_dir = rng.random_dir(nd1, nd2)  # used directly in index space
 
-        # Emit the event into the photon's next free slot.
+        # Emit the event into the photon's next free slot.  A scatter
+        # with no free slot is a DROPPED event — the budget-truncation
+        # signal (LightArray.truncated).
         scat_world = grid.index_to_world(scat_pos)
         can_store = any_scatter & (carry["n_events"] < K)
+        dropped = carry["dropped"] | jnp.any(any_scatter & ~can_store)
         slot = jnp.clip(carry["n_events"], 0, K - 1)
         record = jnp.concatenate(
             [carry["prev_pos"], scat_world, new_int[:, None]], axis=-1
@@ -232,6 +242,7 @@ def generate_lights(
             alive=carry["alive"] & (any_scatter | cont),
             seg_steps=jnp.where(any_scatter, 0, seg_steps),
             events=events,
+            dropped=dropped,
         )
         return new_carry
 
@@ -240,6 +251,7 @@ def generate_lights(
     # total straight-marching budget of max_photon_steps.
     carry["seg_i"] = jnp.zeros((), jnp.int32)
     carry["seg_steps"] = jnp.zeros((P,), jnp.int32)
+    carry["dropped"] = jnp.zeros((), bool)
     max_iters = (K + 1) + max(1, config.max_photon_steps // Wn)
     carry = jax.lax.while_loop(
         lambda c: jnp.any(c["alive"]) & (c["seg_i"] < max_iters),
@@ -265,6 +277,7 @@ def generate_lights(
         intensity=out[:, 6],
         valid=slot_valid,
         count=count,
+        truncated=carry["dropped"],
     )
     if debug_iters:
         return la, carry["seg_i"]
@@ -281,4 +294,5 @@ def empty_lights(config: StaticConfig) -> LightArray:
         intensity=jnp.zeros((L,)),
         valid=jnp.zeros((L,), bool),
         count=jnp.zeros((), jnp.int32),
+        truncated=jnp.zeros((), bool),
     )
