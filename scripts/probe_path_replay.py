@@ -114,18 +114,19 @@ def main() -> None:
         r2 = lambda a: a[:npu].reshape(m, tile, S)
         seeds = P._seeds(W, H, 0, jnp.uint32(7), npu)
 
-        def run(o, d, tmin, tmax, live, roll_site, prefix, seeds):
+        def run(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds):
             out = jax.lax.map(
                 lambda args: P._seg1_frame(params, S, *args),
                 (r3(o), r3(d), r1(tmin), r1(tmax), r1(live),
-                 r2(roll_site), r2(prefix),
+                 r2(site_rank), r1(n_occ), r2(prefix),
                  seeds.reshape(m, tile, 3)),
             )
             return sum(jnp.sum(x.astype(jnp.float32)) for x in out)
 
         f = jax.jit(run)
         return lambda: f(cache.o_i, cache.d_i, cache.tmin, cache.tmax,
-                         cache.live, cache.roll_site, cache.prefix, seeds)
+                         cache.live, cache.site_rank, cache.n_occ,
+                         cache.prefix, seeds)
 
     for t_sw in (4096, 8192, 16384, 32768, 65536):
         if n_pad % t_sw == 0:
@@ -143,7 +144,8 @@ def main() -> None:
         tmin=jnp.pad(cache.tmin, (0, extra)),
         tmax=jnp.pad(cache.tmax, (0, extra)),
         live=jnp.pad(cache.live, (0, extra)),
-        roll_site=jnp.pad(cache.roll_site, ((0, extra), (0, 0))),
+        site_rank=jnp.pad(cache.site_rank, ((0, extra), (0, 0))),
+        n_occ=jnp.pad(cache.n_occ, (0, extra)),
         prefix=jnp.pad(cache.prefix, ((0, extra), (0, 0))),
     )
     timeit("replay lax.map tile=131072 (17 dispatches, padded)",
@@ -154,7 +156,9 @@ def main() -> None:
     # --- 4. component ablations at (131072, S)
     T = 131072
     seeds_t = P._seeds(W, H, 0, jnp.uint32(7), n_pad)[:T]
-    roll_site = cache.roll_site[:T]
+    # round-4-formulation ablations on the reconstructed roll-site mask
+    roll_site = cache.site_rank[:T] > 0
+    site_rank_t, n_occ_t = cache.site_rank[:T], cache.n_occ[:T]
     prefix = cache.prefix[:T]
     tmin, tmax = cache.tmin[:T], cache.tmax[:T]
     o, d, live = cache.o_i[:T], cache.d_i[:T], cache.live[:T]
@@ -200,8 +204,8 @@ def main() -> None:
 
     seg1 = jax.jit(partial(P._seg1_frame, params, S))
 
-    def c_full(o, d, tmin, tmax, live, roll_site, prefix, seeds):
-        out = seg1(o, d, tmin, tmax, live, roll_site, prefix, seeds)
+    def c_full(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds):
+        out = seg1(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds)
         return out[0]
 
     timeit("  (131072, S) cumsum(roll_site)", c_cumsum, roll_site)
@@ -212,12 +216,12 @@ def main() -> None:
            seeds_t)
     timeit("  (131072, S) + 2x take_along_axis picks", c_picks, roll_site,
            prefix, seeds_t)
-    timeit("  (131072, S) full _seg1_frame", c_full, o, d, tmin, tmax,
-           live, roll_site, prefix, seeds_t)
+    timeit("  (131072, S) full _seg1_frame (scan-free)", c_full, o, d,
+           tmin, tmax, live, site_rank_t, n_occ_t, prefix, seeds_t)
 
-    hbm = (roll_site.nbytes + prefix.nbytes) * (n_pad / T) / 1e9
+    hbm = (site_rank_t.nbytes + prefix.nbytes) * (n_pad / T) / 1e9
     print(f"\n  plane bytes full-frame: {hbm:.2f} GB "
-          f"(roll_site {cache.roll_site.dtype}, prefix f32)", flush=True)
+          f"(site_rank {cache.site_rank.dtype}, prefix f32)", flush=True)
 
 
 if __name__ == "__main__":

@@ -280,6 +280,14 @@ class StaticConfig:
     # on the last chunk, larger = fewer sequential loop iterations.
     # 2048 measured best at 256^2-1080p scales on v5e.
     path_chunk: int = 2048
+    # Minor-dim width the packed walk state is padded to (13 payload
+    # columns; render.path._scatter_segments).  The per-chunk row
+    # gather/scatter is row-ISSUE-bound and narrow rows gather far below
+    # the fetch-wall rate (13-wide measured 70 ns/row vs the ~12-14
+    # ns/row plateau at widths >= 100: scripts/probe_walk_inloop.py),
+    # so padding the rows buys back most of the walk's state-movement
+    # cost for pure zero bytes.  Values < 13 mean "no padding".
+    path_pack_width: int = 13
     # Sample-axis sub-block of the scatter-segment march: each chunk
     # early-exits once every ray has scattered or left the volume, so
     # typical segments fetch 2-4 sub-blocks instead of the worst-case

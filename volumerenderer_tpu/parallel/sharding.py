@@ -555,7 +555,7 @@ def bake_path_view_sharded(
             shadow_lut_radius=shadow_lut_radius,
         )._asdict()
 
-    fields = ("o_i", "d_i", "tmin", "tmax", "live", "roll_site", "prefix")
+    fields = path_mod.PathView._fields
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P()),
@@ -601,7 +601,7 @@ def sharded_path_step_cached(
             quantize_u8=config.accum_dtype == "uint8",
         )
 
-    fields = ("o_i", "d_i", "tmin", "tmax", "live", "roll_site", "prefix")
+    fields = path_mod.PathView._fields
     new_accum = jax.shard_map(
         body, mesh=mesh,
         in_specs=(

@@ -72,9 +72,16 @@ class PathView(NamedTuple):
     """Frame-invariant planes of the camera segment (see module docstring).
 
     Arrays are padded to a whole number of ray tiles (``n_pad`` rows).
-    ``roll_site`` marks samples where the shader would draw an RNG roll
-    (occupied & entered); ``prefix`` is the inclusive running sum of the
-    in-scattering contributions ``val*step*light_term`` over those sites.
+    ``site_rank`` is the 1-based occupancy rank at samples where the
+    shader would draw an RNG roll (occupied & entered) and 0 elsewhere —
+    the rank is the per-ray RNG draw index, and since it is strictly
+    increasing along the ray the per-frame first-scatter detection is a
+    MIN-REDUCE over scattered ranks instead of a cumsum scan (the rank
+    itself is frame-invariant, so the round-4 replay's two per-frame
+    (n, S) cumsums bake away entirely).  ``n_occ`` is the per-ray total
+    roll-site count (the draw count of a no-scatter traversal);
+    ``prefix`` is the inclusive running sum of the in-scattering
+    contributions ``val*step*light_term`` over roll sites.
     """
 
     o_i: jax.Array  # (n_pad, 3) camera origins, index space
@@ -82,7 +89,8 @@ class PathView(NamedTuple):
     tmin: jax.Array  # (n_pad,) entry distance (ENTRY_EPS applied)
     tmax: jax.Array  # (n_pad,) clipped exit distance
     live: jax.Array  # (n_pad,) bool: ray marches at all
-    roll_site: jax.Array  # (n_pad, S) bool
+    site_rank: jax.Array  # (n_pad, S) uint16: occupancy rank, 0 = no roll
+    n_occ: jax.Array  # (n_pad,) uint16: total roll sites on the ray
     prefix: jax.Array  # (n_pad, S) f32
 
 
@@ -300,10 +308,16 @@ def _seg1_planes(grid, params, config, lut, S, o, d, light_step=None):
                            light_step=light_step)
     d_c = jnp.where(roll_site, val * step * light_in, 0.0)
     prefix = jnp.cumsum(d_c, axis=-1)
-    return tmin, tmax, live, roll_site, prefix
+    # Bake the per-site RNG draw rank (frame-INVARIANT: it depends only
+    # on the roll-site pattern) so the replay needs no per-frame scan.
+    occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
+    site_rank = jnp.where(roll_site, occ_rank, 0).astype(jnp.uint16)
+    n_occ = occ_rank[:, -1].astype(jnp.uint16)
+    return tmin, tmax, live, site_rank, n_occ, prefix
 
 
-def _seg1_frame(params, S, o, d, tmin, tmax, live, roll_site, prefix, seed0):
+def _seg1_frame(params, S, o, d, tmin, tmax, live, site_rank, n_occ,
+                prefix, seed0):
     """Per-frame camera segment from baked planes: RNG + prefix lookup only.
 
     Returns (color, origin2, dir2, seed_draws2, alive2) — the walk state
@@ -312,17 +326,33 @@ def _seg1_frame(params, S, o, d, tmin, tmax, live, roll_site, prefix, seed0):
     below the scattering probability, the color is the contribution
     prefix at that site (or the full prefix when no scatter), and the
     re-origin position is o + d*t(k*) with pinned rounding.
+
+    Scan-free (round 5): the baked ``site_rank`` IS the per-site draw
+    index, and it increases strictly along the ray, so the FIRST scatter
+    site is the scattered site of MINIMUM rank — a reduce, not a cumsum —
+    and every per-site quantity the frame needs (roll value, one-hot of
+    the winner, prefix/draw pickup) is elementwise against that reduced
+    rank.  No per-frame (n, S) scan, no per-ray row gathers; bit-exact
+    vs the round-4 cumsum form (same ranks, same draws, same winner).
     """
     step = params.ray_marching_step_size
     prob = params.scattering_probability
-    occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-    roll = rng.randf_at(seed0[:, None, :], occ_rank)
-    scatter = roll_site & (roll < prob)
-    any_sc = jnp.any(scatter, axis=-1)
-    k_star = jnp.argmax(scatter, axis=-1)
-    pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
-    color = jnp.where(any_sc, pick(prefix), prefix[:, -1])
-    draws = jnp.where(any_sc, pick(occ_rank), occ_rank[:, -1]).astype(jnp.uint32)
+    sr = site_rank.astype(jnp.uint32)
+    is_site = sr > 0
+    roll = rng.randf_at(seed0[:, None, :], sr)
+    scatter = is_site & (roll < prob)
+    BIG = jnp.uint32(0xFFFFFFFF)
+    r_min = jnp.min(jnp.where(scatter, sr, BIG), axis=-1)
+    any_sc = r_min != BIG
+    first = scatter & (sr == r_min[:, None])
+    S_ = site_rank.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, S_), 1)
+    k_star = jnp.sum(jnp.where(first, iota, 0), axis=-1)
+    color = jnp.where(
+        any_sc, jnp.sum(jnp.where(first, prefix, 0.0), axis=-1),
+        prefix[:, -1],
+    )
+    draws = jnp.where(any_sc, r_min, n_occ.astype(jnp.uint32))
     nd1 = rng.randf_at(seed0, draws + 1)
     nd2 = rng.randf_at(seed0, draws + 2)
     new_dir = rng.random_dir(nd1, nd2)  # index space, as in reference
@@ -426,8 +456,6 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
         roll = rng.randf_at(seed0[:, None, :], seed_draws[:, None] + rank)
         scatter = roll_site & (roll < prob) & ~found[:, None]
         newly = jnp.any(scatter, axis=-1)
-        k_loc = jnp.argmax(scatter, axis=-1)
-        pick = lambda a: jnp.take_along_axis(a, k_loc[:, None], axis=-1)[:, 0]
         # Contributions: occupied sites with no scatter strictly before
         # them (the scatter site itself still adds dC after the redirect,
         # path_compute_color.comp:106-110).
@@ -438,8 +466,17 @@ def _walk_chunk(grid, params, config, lut, S, light_local,
         color = color + jnp.sum(
             jnp.where(contrib, val * step * light_in, 0.0), axis=-1
         )
-        scat_t = jnp.where(newly, pick(t), scat_t)
-        draws_sc = jnp.where(newly, pick(rank), draws_sc)
+        # One-hot select of the first scatter site (before == 0 picks it)
+        # instead of argmax + take_along_axis row gathers — same
+        # fetch-wall reasoning as _seg1_frame, bit-identical.
+        first_sc = scatter & (before == 0)
+        scat_t = jnp.where(
+            newly, jnp.sum(jnp.where(first_sc, t, 0.0), axis=-1), scat_t)
+        draws_sc = jnp.where(
+            newly,
+            jnp.sum(jnp.where(first_sc, rank, jnp.uint32(0)), axis=-1),
+            draws_sc,
+        )
         found = found | newly
         rank_base = rank[:, -1]
         if C > 1:
@@ -686,12 +723,18 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
     # u32 exactly; pack/unpack is elementwise bookkeeping.
     _f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     _u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    # Rows padded to path_pack_width: narrow-row gathers run far below
+    # the fetch-wall per-row rate (see StaticConfig.path_pack_width).
+    PW = max(13, config.path_pack_width)
+
+    def _pad_cols(a):
+        return jnp.pad(a, ((0, 0), (0, PW - 13))) if PW > 13 else a
 
     def _pack(o, d, seed_draws, alive, color):
-        return jnp.concatenate(
+        return _pad_cols(jnp.concatenate(
             [o, d, _f32(seed0), _f32(seed_draws)[:, None], tmax[:, None],
              alive.astype(jnp.float32)[:, None], color[:, None]], axis=1,
-        )
+        ))
 
     for _k in range(2, config.max_path_segments + 1):
         # The whole segment — compaction, sort key, chunk walk — sits
@@ -723,12 +766,12 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                     (st[:, 11] != 0.0) & row_valid,
                     march_cell=march_cell, light_step=light_step,
                 )
-                st2 = jnp.concatenate(
+                st2 = _pad_cols(jnp.concatenate(
                     [o2, d2, st[:, 6:9], _f32(sd2)[:, None], st[:, 10:11],
                      al2.astype(jnp.float32)[:, None],
                      (st[:, 12] + jnp.where(row_valid, dc, 0.0))[:, None]],
                     axis=1,
-                )
+                ))
                 # Scatter back; padding rows are routed out of bounds and
                 # dropped (a duplicate in-bounds write would race row 0).
                 up = jnp.where(row_valid, idc, n_pad)
@@ -778,7 +821,7 @@ def bake_path_view(
     o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
     lut = _make_lut(grid, params, config, shadow_lut_radius)
     m = n_pad // tile
-    tmin, tmax, live, roll_site, prefix = jax.lax.map(
+    tmin, tmax, live, site_rank, n_occ, prefix = jax.lax.map(
         lambda args: _seg1_planes(grid, params, config, lut, S, *args,
                                   light_step=light_step),
         (o_i.reshape(m, tile, 3), d_i.reshape(m, tile, 3)),
@@ -789,7 +832,8 @@ def bake_path_view(
         tmin=tmin.reshape(n_pad),
         tmax=tmax.reshape(n_pad),
         live=live.reshape(n_pad),
-        roll_site=roll_site.reshape(n_pad, S),
+        site_rank=site_rank.reshape(n_pad, S),
+        n_occ=n_occ.reshape(n_pad),
         prefix=prefix.reshape(n_pad, S),
     )
     # Pad the view to a multiple of the cached-replay tile target: the
@@ -817,7 +861,8 @@ def bake_path_view(
             tmin=pad1(view.tmin),
             tmax=pad1(view.tmax),
             live=pad1(view.live),
-            roll_site=pad2(view.roll_site),
+            site_rank=pad2(view.site_rank),
+            n_occ=pad1(view.n_occ),
             prefix=pad2(view.prefix),
         )
     return view
@@ -869,11 +914,11 @@ def render_frame(
 
         def tile_seg1(args):
             o, d, s0 = args
-            tmin, tmax, live, roll_site, prefix = _seg1_planes(
+            tmin, tmax, live, site_rank, n_occ, prefix = _seg1_planes(
                 grid, params, config, lut, S, o, d, light_step=light_step
             )
             out = _seg1_frame(params, S, o, d, tmin, tmax, live,
-                              roll_site, prefix, s0)
+                              site_rank, n_occ, prefix, s0)
             return (*out, tmax)
 
         color, o2, d2, sd2, al2, tmax = jax.lax.map(
@@ -898,8 +943,8 @@ def render_frame(
         color, o2, d2, sd2, al2 = jax.lax.map(
             lambda args: _seg1_frame(params, S, *args),
             (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
-             r1(cache.live), r2(cache.roll_site), r2(cache.prefix),
-             r3(seeds)),
+             r1(cache.live), r2(cache.site_rank), r1(cache.n_occ),
+             r2(cache.prefix), r3(seeds)),
         )
         state = (color.reshape(n_pad), o2.reshape(n_pad, 3),
                  d2.reshape(n_pad, 3), sd2.reshape(n_pad), cache.tmax,
@@ -967,8 +1012,8 @@ def render_frames(
         color, o2, d2, sd2, al2 = jax.lax.map(
             lambda args: _seg1_frame(params, S, *args),
             (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
-             r1(cache.live), r2(cache.roll_site), r2(cache.prefix),
-             r3(seeds)),
+             r1(cache.live), r2(cache.site_rank), r1(cache.n_occ),
+             r2(cache.prefix), r3(seeds)),
         )
         return (color.reshape(n_pad), o2.reshape(n_pad, 3),
                 d2.reshape(n_pad, 3), sd2.reshape(n_pad),
