@@ -1,22 +1,20 @@
 """Decompose PATH's cached camera-term replay at 1080p (VERDICT r4 weak #1).
 
-The zero-scatter PATH frame costs 468 ms — 49% of the 953 ms frame — yet
-its work is per-(ray, step) RNG replay + prefix lookup with ZERO volume
-fetches (render/path.py _seg1_frame over a baked PathView).  Envelope math
-puts the VPU + HBM bound at ~5-10 ms, so something is 50-100x off.  This
-probe prices each stage at the production shapes on the real chip:
+Round-5 history of the zero-scatter frame (96^3, 1920x1080, v5e):
+  468 ms  round-4 cumsum replay, 127 sequential 16384-ray dispatches
+  92.8    bake padded to the cached-tile multiple (16 dispatches)
+  67.3    scan-free site-form replay (rank baked, reduce not scan)
+  35.0    the same, ONE fused dispatch (this probe, round 5) -- the
+          67 -> 35 gap is ~0.38 ms/tile of IN-PROGRAM lax.map loop
+          overhead, not host round-trips
+  ->      rank-indexed replay (PathView.rank_k/rank_prefix): pass 1
+          reads NO per-site plane (rolls are a pure function of
+          (seed, iota rank)), pass 2 is one one-hot sweep
 
-  1. the full cached zero-scatter frame (the 468 ms baseline);
-  2. _seg1_frame exactly as production dispatches it (lax.map at the
-     bake-pad tile — 1080p pads to 127 x 16384, 127 is PRIME, so the
-     "wide cached tile" (path_cached_tile=131072) NEVER materializes:
-     _chunk_for falls back to 16384 and the replay pays 127 sequential
-     dispatch round-trips);
-  3. the same replay over a 131072-multiple pad (16 dispatches) and as
-     ONE fused call;
-  4. component ablations at (131072, S): cumsum(roll_site), randf_at,
-     compare+argmax+any, the two take_along_axis picks, and the scalar
-     tail (t_grid/ray_positions/random_dir).
+This probe prices the production frame, the replay at a tile-width
+sweep, and the rank-form ablations.  A sync-floor row (trivial scalar
+program) calibrates the per-measurement device round-trip so small
+rows are read as deltas above it.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/probe_path_replay.py
 """
@@ -75,6 +73,11 @@ def main() -> None:
     )
     cfg = StaticConfig(width=W, height=H)
 
+    # --- sync floor: a trivial program, same measurement harness
+    zero = jnp.zeros((8,), jnp.float32)
+    timeit("sync floor (trivial scalar program)", jax.jit(lambda z: z + 1),
+           zero)
+
     # --- 0. full default PATH frame (today's end-to-end baseline)
     rd = Renderer(grid, cfg, base, algorithm=Algorithm.PATH)
     rd.step(2)
@@ -100,128 +103,86 @@ def main() -> None:
 
     cache = r._path_view
     n_pad = cache.o_i.shape[0]
-    S = cache.prefix.shape[1]
+    S = cache.rank_prefix.shape[1]
     print(f"  n_pad={n_pad} ({n_pad//16384} x 16384), S={S}", flush=True)
     params = base
     del r
 
-    # --- 2. _seg1_frame as production dispatches it
-    def replay(cache, tile, n_pad_use=None):
-        npu = n_pad_use or n_pad
-        m = npu // tile
-        r3 = lambda a: a[:npu].reshape(m, tile, 3)
-        r1 = lambda a: a[:npu].reshape(m, tile)
-        r2 = lambda a: a[:npu].reshape(m, tile, S)
-        seeds = P._seeds(W, H, 0, jnp.uint32(7), npu)
+    # --- 2. rank-form replay at a tile sweep
+    def replay(cache, tile):
+        m = n_pad // tile
+        r3 = lambda a: a.reshape(m, tile, 3)
+        r1 = lambda a: a.reshape(m, tile)
+        r2 = lambda a: a.reshape(m, tile, S)
+        seeds = P._seeds(W, H, 0, jnp.uint32(7), n_pad)
 
-        def run(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds):
+        def run(o, d, tmin, n_occ, rank_k, rank_prefix, prefix_total, seeds):
             out = jax.lax.map(
-                lambda args: P._seg1_frame(params, S, *args),
-                (r3(o), r3(d), r1(tmin), r1(tmax), r1(live),
-                 r2(site_rank), r1(n_occ), r2(prefix),
+                lambda args: P._seg1_frame_rank(params, S, *args),
+                (r3(o), r3(d), r1(tmin), r1(n_occ), r2(rank_k),
+                 r2(rank_prefix), r1(prefix_total),
                  seeds.reshape(m, tile, 3)),
             )
             return sum(jnp.sum(x.astype(jnp.float32)) for x in out)
 
         f = jax.jit(run)
-        return lambda: f(cache.o_i, cache.d_i, cache.tmin, cache.tmax,
-                         cache.live, cache.site_rank, cache.n_occ,
-                         cache.prefix, seeds)
+        return lambda: f(cache.o_i, cache.d_i, cache.tmin, cache.n_occ,
+                         cache.rank_k, cache.rank_prefix, cache.prefix_total,
+                         seeds)
 
-    for t_sw in (4096, 8192, 16384, 32768, 65536):
+    for t_sw in (16384, 65536, 131072, 262144, 524288, n_pad):
         if n_pad % t_sw == 0:
-            timeit(f"replay lax.map tile={t_sw} ({n_pad//t_sw} dispatches)",
-                   replay(cache, t_sw), n=4)
+            timeit(f"rank replay lax.map tile={t_sw} "
+                   f"({n_pad//t_sw} dispatches)", replay(cache, t_sw), n=4)
 
-    # pad to a 131072 multiple
-    pad_to = -(-n_pad // 131072) * 131072
-    extra = pad_to - n_pad
-    import dataclasses as dc
-    cache_pad = P.PathView(
-        o_i=jnp.pad(cache.o_i, ((0, extra), (0, 0))),
-        d_i=jnp.pad(cache.d_i, ((0, extra), (0, 0)),
-                    constant_values=0.0).at[n_pad:, 2].set(1.0),
-        tmin=jnp.pad(cache.tmin, (0, extra)),
-        tmax=jnp.pad(cache.tmax, (0, extra)),
-        live=jnp.pad(cache.live, (0, extra)),
-        site_rank=jnp.pad(cache.site_rank, ((0, extra), (0, 0))),
-        n_occ=jnp.pad(cache.n_occ, (0, extra)),
-        prefix=jnp.pad(cache.prefix, ((0, extra), (0, 0))),
-    )
-    timeit("replay lax.map tile=131072 (17 dispatches, padded)",
-           replay(cache_pad, 131072, pad_to), n=4)
-    timeit(f"replay ONE fused call (tile={pad_to})",
-           replay(cache_pad, pad_to, pad_to), n=4)
-
-    # --- 4. component ablations at (131072, S)
+    # --- 3. rank-form component ablations at (131072, S)
     T = 131072
     seeds_t = P._seeds(W, H, 0, jnp.uint32(7), n_pad)[:T]
-    # round-4-formulation ablations on the reconstructed roll-site mask
-    roll_site = cache.site_rank[:T] > 0
-    site_rank_t, n_occ_t = cache.site_rank[:T], cache.n_occ[:T]
-    prefix = cache.prefix[:T]
-    tmin, tmax = cache.tmin[:T], cache.tmax[:T]
-    o, d, live = cache.o_i[:T], cache.d_i[:T], cache.live[:T]
+    rank_k_t = cache.rank_k[:T]
+    rank_prefix_t = cache.rank_prefix[:T]
+    n_occ_t = cache.n_occ[:T]
+    prefix_total_t = cache.prefix_total[:T]
+    o, d, tmin = cache.o_i[:T], cache.d_i[:T], cache.tmin[:T]
 
     @jax.jit
-    def c_cumsum(roll_site):
-        return jnp.sum(jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-                       .astype(jnp.float32))
+    def c_pass1(seeds):
+        ranks = jax.lax.broadcasted_iota(jnp.uint32, (1, S), 1) + jnp.uint32(1)
+        roll = rng.randf_at(seeds[:, None, :], ranks)
+        hit = roll < jnp.float32(0.05)
+        BIG = jnp.uint32(0xFFFFFFFF)
+        r_min = jnp.min(jnp.where(hit, ranks, BIG), axis=-1)
+        return jnp.sum(r_min.astype(jnp.float32))
 
     @jax.jit
-    def c_randf(roll_site, seeds):
-        occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-        roll = rng.randf_at(seeds[:, None, :], occ_rank)
-        return jnp.sum(roll)
+    def c_pass2(seeds, rank_k, rank_prefix):
+        ranks = jax.lax.broadcasted_iota(jnp.uint32, (1, S), 1) + jnp.uint32(1)
+        roll = rng.randf_at(seeds[:, None, :], ranks)
+        hit = roll < jnp.float32(0.05)
+        BIG = jnp.uint32(0xFFFFFFFF)
+        r_min = jnp.min(jnp.where(hit, ranks, BIG), axis=-1)
+        onehot = ranks == r_min[:, None]
+        color = jnp.sum(jnp.where(onehot, rank_prefix, 0.0), axis=-1)
+        k_star = jnp.sum(jnp.where(onehot, rank_k.astype(jnp.int32), 0),
+                         axis=-1)
+        return jnp.sum(color) + jnp.sum(k_star.astype(jnp.float32))
 
-    @jax.jit
-    def c_randf_iota(seeds):
-        # rank axis = iota (no cumsum dependency): prices the hash alone
-        ks = jnp.arange(S, dtype=jnp.uint32)[None, :]
-        roll = rng.randf_at(seeds[:, None, :], ks)
-        return jnp.sum(roll)
+    seg1 = jax.jit(partial(P._seg1_frame_rank, params, S))
 
-    @jax.jit
-    def c_scan(roll_site, prefix, seeds):
-        occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-        roll = rng.randf_at(seeds[:, None, :], occ_rank)
-        scatter = roll_site & (roll < jnp.float32(0.05))
-        any_sc = jnp.any(scatter, axis=-1)
-        k_star = jnp.argmax(scatter, axis=-1)
-        return jnp.sum(k_star) + jnp.sum(any_sc)
-
-    @jax.jit
-    def c_picks(roll_site, prefix, seeds):
-        occ_rank = jnp.cumsum(roll_site.astype(jnp.uint32), axis=-1)
-        roll = rng.randf_at(seeds[:, None, :], occ_rank)
-        scatter = roll_site & (roll < jnp.float32(0.05))
-        any_sc = jnp.any(scatter, axis=-1)
-        k_star = jnp.argmax(scatter, axis=-1)
-        pick = lambda a: jnp.take_along_axis(a, k_star[:, None], axis=-1)[:, 0]
-        color = jnp.where(any_sc, pick(prefix), prefix[:, -1])
-        draws = jnp.where(any_sc, pick(occ_rank), occ_rank[:, -1])
-        return jnp.sum(color) + jnp.sum(draws.astype(jnp.float32))
-
-    seg1 = jax.jit(partial(P._seg1_frame, params, S))
-
-    def c_full(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds):
-        out = seg1(o, d, tmin, tmax, live, site_rank, n_occ, prefix, seeds)
+    def c_full(o, d, tmin, n_occ, rank_k, rank_prefix, prefix_total, seeds):
+        out = seg1(o, d, tmin, n_occ, rank_k, rank_prefix, prefix_total,
+                   seeds)
         return out[0]
 
-    timeit("  (131072, S) cumsum(roll_site)", c_cumsum, roll_site)
-    timeit("  (131072, S) cumsum + randf_at", c_randf, roll_site, seeds_t)
-    timeit("  (131072, S) randf_at at iota ranks (no cumsum dep)",
-           c_randf_iota, seeds_t)
-    timeit("  (131072, S) + compare/any/argmax", c_scan, roll_site, prefix,
+    timeit("  (131072, S) pass 1: RNG at iota ranks + min-reduce", c_pass1,
            seeds_t)
-    timeit("  (131072, S) + 2x take_along_axis picks", c_picks, roll_site,
-           prefix, seeds_t)
-    timeit("  (131072, S) full _seg1_frame (scan-free)", c_full, o, d,
-           tmin, tmax, live, site_rank_t, n_occ_t, prefix, seeds_t)
+    timeit("  (131072, S) pass 1+2: + one-hot (rank_k, rank_prefix) sweep",
+           c_pass2, seeds_t, rank_k_t, rank_prefix_t)
+    timeit("  (131072, S) full _seg1_frame_rank", c_full, o, d, tmin,
+           n_occ_t, rank_k_t, rank_prefix_t, prefix_total_t, seeds_t)
 
-    hbm = (site_rank_t.nbytes + prefix.nbytes) * (n_pad / T) / 1e9
-    print(f"\n  plane bytes full-frame: {hbm:.2f} GB "
-          f"(site_rank {cache.site_rank.dtype}, prefix f32)", flush=True)
+    hbm = (cache.rank_k.nbytes + cache.rank_prefix.nbytes) / 1e9
+    print(f"\n  rank plane bytes full-frame: {hbm:.2f} GB "
+          f"(rank_k uint16, rank_prefix f32)", flush=True)
 
 
 if __name__ == "__main__":

@@ -185,16 +185,16 @@ def main() -> None:
                             shadow_lut_radius=lut_r)
     n_padv = view.o_i.shape[0]
     seeds = P._seeds(W, H, 0, jnp.uint32(1), n_padv)
-    tile = P._chunk_for(n_padv, P._cached_tile_target(config))
+    tile = P._chunk_for(n_padv, P._cached_tile_target(config, S))
     m = n_padv // tile
     r3 = lambda a: a.reshape(m, tile, 3)
     r1 = lambda a: a.reshape(m, tile)
-    r2 = lambda a: a.reshape(m, tile, view.site_rank.shape[-1])
+    r2 = lambda a: a.reshape(m, tile, view.rank_k.shape[-1])
     color, o2, d2, sd2, al2 = jax.lax.map(
-        lambda args: P._seg1_frame(params, S, *args),
-        (r3(view.o_i), r3(view.d_i), r1(view.tmin), r1(view.tmax),
-         r1(view.live), r2(view.site_rank), r1(view.n_occ),
-         r2(view.prefix), r3(seeds)),
+        lambda args: P._seg1_frame_rank(params, S, *args),
+        (r3(view.o_i), r3(view.d_i), r1(view.tmin), r1(view.n_occ),
+         r2(view.rank_k), r2(view.rank_prefix), r1(view.prefix_total),
+         r3(seeds)),
     )
     o2, d2 = o2.reshape(n_padv, 3), d2.reshape(n_padv, 3)
     sd2, al2 = sd2.reshape(n_padv), al2.reshape(n_padv)

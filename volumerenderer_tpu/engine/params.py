@@ -260,21 +260,20 @@ class StaticConfig:
     # at small image sizes.
     path_compact_min: int = 4096
     # Ray-tile width for the CACHED camera segment (render.path
-    # _seg1_frame over a baked PathView): the cached pass does zero
+    # _seg1_frame_rank over a baked PathView): the cached pass does zero
     # volume fetches — pure VPU replay over (tile, S) planes — so the
-    # tile trades dispatch count against per-tile working set.  History:
-    # round 4 measured ~1.5 ms/dispatch on the remote path and set this
-    # to 131072 (but the 1080p bake pad was 127 x 16384, 127 PRIME, so
-    # _chunk_for silently fell back to 16384 and the wide tile never
-    # ran); round 5's environment dispatches at ~0.16 ms and the narrow
-    # tile is measurably FASTER than wide (92.8 vs 123.8 ms zero-scatter
-    # frame at 1080p — big (131072, S) replay tiles lose on fusion
-    # locality; scripts/probe_path_replay.py).  The bake pads the
-    # PathView to a multiple of this target so the configured tile
-    # actually materializes.  Used directly (ADVICE r4): values below
-    # ray_tile shrink the (tile, S) replay temporaries at large S;
-    # 0 falls back to ray_tile.
-    path_cached_tile: int = 16384
+    # tile trades IN-PROGRAM loop overhead (measured ~0.38 ms per
+    # lax.map iteration at 1080p: 127 tiles cost 47 ms where ONE fused
+    # dispatch costs ~6 ms, scripts/probe_path_replay.py round 5)
+    # against the (tile, S) working set.  0 (the default) auto-sizes:
+    # the largest power-of-two tile whose f32 (tile, S) temporary stays
+    # under ~256 MB, clamped to [16384, 524288] — one-to-few dispatches
+    # at 1080p/S~170, narrower at asset-scale S~620.  The bake pads the
+    # PathView to a multiple of the target so the configured tile
+    # actually materializes (pad waste <= one tile).  Explicit values
+    # are used directly (ADVICE r4): values below ray_tile shrink the
+    # replay temporaries at large S.
+    path_cached_tile: int = 0
     # Width of the fixed-shape chunks that walk the compacted alive-ray
     # list (render.path._scatter_segments): smaller = less padding waste
     # on the last chunk, larger = fewer sequential loop iterations.

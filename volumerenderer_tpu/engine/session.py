@@ -669,7 +669,7 @@ class Renderer:
                     int(8.0 // max(
                         float(p_eff.ray_marching_step_size), 1e-6)),
                 )
-            # PathView planes: site_rank u16 (2 B) + prefix f32 (4 B)
+            # PathView planes: rank_k u16 (2 B) + rank_prefix f32 (4 B)
             # per (ray, step).
             cache_bytes = (
                 self.config.width * self.config.height * max_steps * 6

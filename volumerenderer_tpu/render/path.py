@@ -72,16 +72,20 @@ class PathView(NamedTuple):
     """Frame-invariant planes of the camera segment (see module docstring).
 
     Arrays are padded to a whole number of ray tiles (``n_pad`` rows).
-    ``site_rank`` is the 1-based occupancy rank at samples where the
-    shader would draw an RNG roll (occupied & entered) and 0 elsewhere —
-    the rank is the per-ray RNG draw index, and since it is strictly
-    increasing along the ray the per-frame first-scatter detection is a
-    MIN-REDUCE over scattered ranks instead of a cumsum scan (the rank
-    itself is frame-invariant, so the round-4 replay's two per-frame
-    (n, S) cumsums bake away entirely).  ``n_occ`` is the per-ray total
-    roll-site count (the draw count of a no-scatter traversal);
-    ``prefix`` is the inclusive running sum of the in-scattering
-    contributions ``val*step*light_term`` over roll sites.
+    The per-sample planes are RANK-INDEXED (round 5): the per-ray RNG
+    draw index of a roll site IS its 1-based occupancy rank, and the
+    rank is frame-invariant (it depends only on the baked roll-site
+    pattern), so the bake sorts each ray's roll sites by rank once and
+    stores, at column ``r``, the sample index (``rank_k``) and inclusive
+    in-scattering prefix (``rank_prefix``) of the rank-``r+1`` site.
+    The per-frame replay then needs NO per-site plane at all: it draws
+    ``randf_at(seed, r)`` at the plain iota ranks (pure VPU — the first
+    scattered rank is the MIN hit rank, by strict monotonicity of rank
+    along the ray), and picks up the winner's ``(k, prefix)`` with one
+    one-hot pass over the two rank planes.  Columns at or beyond
+    ``n_occ`` (the per-ray roll-site total — the draw count of a
+    no-scatter traversal) are unused; ``prefix_total`` is the full-ray
+    prefix (the no-scatter color).
     """
 
     o_i: jax.Array  # (n_pad, 3) camera origins, index space
@@ -89,9 +93,10 @@ class PathView(NamedTuple):
     tmin: jax.Array  # (n_pad,) entry distance (ENTRY_EPS applied)
     tmax: jax.Array  # (n_pad,) clipped exit distance
     live: jax.Array  # (n_pad,) bool: ray marches at all
-    site_rank: jax.Array  # (n_pad, S) uint16: occupancy rank, 0 = no roll
+    rank_k: jax.Array  # (n_pad, S) uint16: sample index of rank r+1
     n_occ: jax.Array  # (n_pad,) uint16: total roll sites on the ray
-    prefix: jax.Array  # (n_pad, S) f32
+    rank_prefix: jax.Array  # (n_pad, S) f32: prefix at rank r+1
+    prefix_total: jax.Array  # (n_pad,) f32: full-ray prefix
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +321,26 @@ def _seg1_planes(grid, params, config, lut, S, o, d, light_step=None):
     return tmin, tmax, live, site_rank, n_occ, prefix
 
 
+def _seg1_planes_ranked(grid, params, config, lut, S, o, d, light_step=None):
+    """_seg1_planes re-laid out by occupancy rank (see PathView).
+
+    Column ``r`` of ``rank_k`` / ``rank_prefix`` holds the sample index
+    and inclusive prefix of the rank-``r+1`` roll site (valid for
+    ``r < n_occ``; the tail is sort filler, masked at use).  Built with a
+    row sort on the (unique-per-row) rank keys — non-sites key to S+1 and
+    land after every real site."""
+    tmin, tmax, live, site_rank, n_occ, prefix = _seg1_planes(
+        grid, params, config, lut, S, o, d, light_step=light_step
+    )
+    key = jnp.where(site_rank > 0, site_rank.astype(jnp.int32), S + 1)
+    ks = jax.lax.broadcasted_iota(jnp.int32, site_rank.shape, 1)
+    _skey, sk, sprefix = jax.lax.sort(
+        (key, ks, prefix), dimension=-1, num_keys=1
+    )
+    return (tmin, tmax, live, sk.astype(jnp.uint16), n_occ, sprefix,
+            prefix[:, -1])
+
+
 def _seg1_frame(params, S, o, d, tmin, tmax, live, site_rank, n_occ,
                 prefix, seed0):
     """Per-frame camera segment from baked planes: RNG + prefix lookup only.
@@ -363,6 +388,51 @@ def _seg1_frame(params, S, o, d, tmin, tmax, live, site_rank, n_occ,
     seed_draws2 = draws + jnp.where(any_sc, jnp.uint32(2), jnp.uint32(0))
     alive2 = live & any_sc
     return color, origin2, dir2, seed_draws2, alive2
+
+
+def _seg1_frame_rank(params, S, o, d, tmin, n_occ, rank_k, rank_prefix,
+                     prefix_total, seed0):
+    """Cached camera-segment replay over RANK-indexed planes (PathView).
+
+    Bit-identical to ``_seg1_frame`` on the same scene: the draw at rank
+    ``r`` is ``randf_at(seed0, r)`` either way, the first scattered site
+    is the one of minimum hit rank (rank increases strictly along the
+    ray), and column ``r-1`` of the rank planes holds exactly the
+    winner's sample index and prefix.  The win is structural: pass 1
+    (the RNG sweep + min-reduce) reads NO per-site plane — rolls are a
+    pure function of (seed, iota rank) — and pass 2 is one one-hot
+    sweep over the two rank planes.  Rays that never scatter (min hit
+    rank > ``n_occ``, which is 0 for dead/padding rows) take the baked
+    ``prefix_total`` and keep their camera ray, as before.
+    """
+    step = params.ray_marching_step_size
+    prob = params.scattering_probability
+    ranks = jax.lax.broadcasted_iota(jnp.uint32, (1, S), 1) + jnp.uint32(1)
+    roll = rng.randf_at(seed0[:, None, :], ranks)
+    hit = roll < prob
+    BIG = jnp.uint32(0xFFFFFFFF)
+    r_min = jnp.min(jnp.where(hit, ranks, BIG), axis=-1)
+    n_occ32 = n_occ.astype(jnp.uint32)
+    any_sc = r_min <= n_occ32
+    onehot = ranks == r_min[:, None]
+    color = jnp.where(
+        any_sc,
+        jnp.sum(jnp.where(onehot, rank_prefix, 0.0), axis=-1),
+        prefix_total,
+    )
+    k_star = jnp.sum(
+        jnp.where(onehot, rank_k.astype(jnp.int32), 0), axis=-1
+    )
+    draws = jnp.where(any_sc, r_min, n_occ32)
+    nd1 = rng.randf_at(seed0, draws + 1)
+    nd2 = rng.randf_at(seed0, draws + 2)
+    new_dir = rng.random_dir(nd1, nd2)
+    t_sc = t_grid(tmin, k_star.astype(jnp.float32)[:, None], step)  # (n, 1)
+    scat_pos = ray_positions(o, d, t_sc)[:, 0, :]
+    origin2 = jnp.where(any_sc[:, None], scat_pos, o)
+    dir2 = jnp.where(any_sc[:, None], new_dir, d)
+    seed_draws2 = draws + jnp.where(any_sc, jnp.uint32(2), jnp.uint32(0))
+    return color, origin2, dir2, seed_draws2, any_sc
 
 
 # ---------------------------------------------------------------------------
@@ -524,15 +594,23 @@ def _chunk_for(n: int, tile: int) -> int:
     return c
 
 
-def _cached_tile_target(config) -> int:
-    """Ray-tile target for the fetch-free cached replay.  Uses
-    path_cached_tile DIRECTLY (0/unset falls back to ray_tile) so the
-    knob can tune in BOTH directions — the old max(cached, ray_tile)
-    clamp made it impossible to configure a replay tile smaller than
-    ray_tile, removing the only lever on the (tile, S) replay
-    temporaries at large S (ADVICE r4)."""
-    return config.path_cached_tile if config.path_cached_tile > 0 \
-        else config.ray_tile
+def _cached_tile_target(config, S: int) -> int:
+    """Ray-tile target for the fetch-free cached replay.
+
+    Explicit path_cached_tile is used DIRECTLY so the knob tunes in
+    BOTH directions (ADVICE r4).  0 (default) auto-sizes: the largest
+    power-of-two tile whose (tile, S) f32 temporary stays under
+    ~256 MB, clamped to [16384, 524288] — in-program loop overhead is
+    ~0.38 ms/tile (probe_path_replay.py round 5), so fewer, wider
+    dispatches win until the working set grows past cache-friendly
+    sizes."""
+    if config.path_cached_tile > 0:
+        return config.path_cached_tile
+    cap = (256 << 20) // max(S * 4, 1)
+    tile = 16384
+    while tile * 2 <= min(cap, 524288):
+        tile *= 2
+    return tile
 
 
 def _walk_segment(grid, params, config, lut, S, light_local,
@@ -713,52 +791,64 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
 
     # Per-chunk state moves through ONE packed (n_pad, 13) f32 array —
     # columns [o(3), d(3), bitcast(seed0)(3), bitcast(seed_draws), tmax,
-    # alive, color] — so each chunk is 1 row-gather + 1 row-scatter
-    # instead of 6 takes + 5 puts: the fetch-wall roofline charges ~12
-    # clocks PER ROW regardless of row width (BENCHMARKS.md), and the
-    # per-segment compaction traffic (~1.7M chunk-rows x 11 ops/frame at
-    # 1080p) was the walk's dominant stride-invariant cost (round-5
-    # probe_path_walkcost.py: stride 3 cut per-sample work 3x but the
-    # frame only moved 645 -> 497 ms).  Bit-exact: bitcasts round-trip
-    # u32 exactly; pack/unpack is elementwise bookkeeping.
+    # alive, bitcast(orig_idx)].  Round-5 restructure: walked rows are
+    # written CONTIGUOUSLY into the next segment's buffer (chunk j lands
+    # at rows [j*W, (j+1)*W) — a dynamic_update_slice, free) instead of
+    # scattered back to their original rows, so the state stays in
+    # compacted order across segments and the only per-row scatter left
+    # is a 1-wide color add at the baked original index.  Measured: the
+    # 13-wide row scatter-back cost ~97 ns/row on top of the ~71 ns/row
+    # gather (sweep_walk_1080p.py — the fetch wall charges per ELEMENT
+    # on narrow rows, and pack widths >= 100 lose more at frame level
+    # than their faster row rate buys), and the walk runs ~512 chunks x
+    # 2048 rows per 1080p frame, so dropping the wide scatter removes
+    # the walk's largest stride-invariant term.  Bit-exact: bitcasts
+    # round-trip u32/i32 exactly; chunk membership and row order are
+    # scheduling only (masked rows fetch zero, draw no RNG, add
+    # nothing), and each alive ray appears in exactly one chunk per
+    # segment, so the per-ray color accumulation order is unchanged
+    # (seg1 + seg2 + ... in sequence).
     _f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     _u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    # Rows padded to path_pack_width: narrow-row gathers run far below
-    # the fetch-wall per-row rate (see StaticConfig.path_pack_width).
+    # Rows padded to path_pack_width (>= 13 is a measurement knob; 13
+    # measured best at frame level — see StaticConfig.path_pack_width).
     PW = max(13, config.path_pack_width)
 
     def _pad_cols(a):
         return jnp.pad(a, ((0, 0), (0, PW - 13))) if PW > 13 else a
 
-    def _pack(o, d, seed_draws, alive, color):
-        return _pad_cols(jnp.concatenate(
-            [o, d, _f32(seed0), _f32(seed_draws)[:, None], tmax[:, None],
-             alive.astype(jnp.float32)[:, None], color[:, None]], axis=1,
-        ))
+    orig0 = jnp.arange(n_pad, dtype=jnp.int32)
+    A = _pad_cols(jnp.concatenate(
+        [o, d, _f32(seed0), _f32(seed_draws)[:, None], tmax[:, None],
+         alive.astype(jnp.float32)[:, None], _f32(orig0)[:, None]], axis=1,
+    ))
 
     for _k in range(2, config.max_path_segments + 1):
         # The whole segment — compaction, sort key, chunk walk — sits
         # under a count>0 cond: once every ray is resolved the remaining
         # segments cost one reduction each (measured 59 ms/segment of
         # pure full-width sort/compact overhead at 1080p otherwise).
-        count = jnp.sum(alive.astype(jnp.int32))
+        count = jnp.sum((A[:, 11] != 0.0).astype(jnp.int32))
 
         def segment_pass(args):
-            color, o, d, seed_draws, alive = args
+            A, color = args
+            o_c, d_c = A[:, 0:3], A[:, 3:6]
+            tmax_c = A[:, 10]
+            alive_c = A[:, 11] != 0.0
             if config.path_sort_chunks:
-                idx = _sorted_compact(grid, params, config, S, o, d, tmax,
-                                      alive, march_cell=march_cell,
+                idx = _sorted_compact(grid, params, config, S, o_c, d_c,
+                                      tmax_c, alive_c,
+                                      march_cell=march_cell,
                                       n_frames=n_frames)
             else:
-                idx, _valid = _compact_indices(alive, n_pad)
+                idx, _valid = _compact_indices(alive_c, n_pad)
             n_chunks = (count + W - 1) // W
-            pack = _pack(o, d, seed_draws, alive, color)
 
             def body(carry):
-                j, pack = carry
+                j, A_next, color = carry
                 idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
                 row_valid = (j * W + lanes) < count
-                st = jnp.take(pack, idc, axis=0, mode="clip")
+                st = jnp.take(A, idc, axis=0, mode="clip")
                 dc, o2, d2, sd2, al2 = _walk_chunk(
                     grid, params, config, lut, S, light_local,
                     st[:, 0:3], st[:, 3:6], _u32(st[:, 6:9]),
@@ -768,25 +858,29 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                 )
                 st2 = _pad_cols(jnp.concatenate(
                     [o2, d2, st[:, 6:9], _f32(sd2)[:, None], st[:, 10:11],
-                     al2.astype(jnp.float32)[:, None],
-                     (st[:, 12] + jnp.where(row_valid, dc, 0.0))[:, None]],
+                     al2.astype(jnp.float32)[:, None], st[:, 12:13]],
                     axis=1,
                 ))
-                # Scatter back; padding rows are routed out of bounds and
-                # dropped (a duplicate in-bounds write would race row 0).
-                up = jnp.where(row_valid, idc, n_pad)
-                return j + 1, pack.at[up].set(st2, mode="drop")
+                A_next = jax.lax.dynamic_update_slice(A_next, st2, (j * W, 0))
+                # 1-wide color add at the baked original index; padding
+                # rows route out of bounds and drop.
+                orig = jax.lax.bitcast_convert_type(st[:, 12], jnp.int32)
+                tgt = jnp.where(row_valid, orig, n_pad)
+                color = color.at[tgt].add(
+                    jnp.where(row_valid, dc, 0.0), mode="drop"
+                )
+                return j + 1, A_next, color
 
-            _, pack = jax.lax.while_loop(
+            _, A_next, color = jax.lax.while_loop(
                 lambda c: c[0] < n_chunks, body,
-                (jnp.zeros((), jnp.int32), pack),
+                (jnp.zeros((), jnp.int32), jnp.zeros_like(A), color),
             )
-            return (pack[:, 12], pack[:, 0:3], pack[:, 3:6],
-                    _u32(pack[:, 9]), pack[:, 11] != 0.0)
+            # Rows at or beyond n_chunks*W stay zero: alive=0, so they
+            # key to INT32_MAX next segment and are never walked.
+            return A_next, color
 
-        color, o, d, seed_draws, alive = jax.lax.cond(
-            count > 0, segment_pass, lambda a: a,
-            (color, o, d, seed_draws, alive),
+        A, color = jax.lax.cond(
+            count > 0, segment_pass, lambda a: a, (A, color)
         )
     return color
 
@@ -821,9 +915,9 @@ def bake_path_view(
     o_i, d_i, n_pad = _pad_rays(o_i, d_i, tile)
     lut = _make_lut(grid, params, config, shadow_lut_radius)
     m = n_pad // tile
-    tmin, tmax, live, site_rank, n_occ, prefix = jax.lax.map(
-        lambda args: _seg1_planes(grid, params, config, lut, S, *args,
-                                  light_step=light_step),
+    tmin, tmax, live, rank_k, n_occ, rank_prefix, prefix_total = jax.lax.map(
+        lambda args: _seg1_planes_ranked(grid, params, config, lut, S, *args,
+                                         light_step=light_step),
         (o_i.reshape(m, tile, 3), d_i.reshape(m, tile, 3)),
     )
     view = PathView(
@@ -832,9 +926,10 @@ def bake_path_view(
         tmin=tmin.reshape(n_pad),
         tmax=tmax.reshape(n_pad),
         live=live.reshape(n_pad),
-        site_rank=site_rank.reshape(n_pad, S),
+        rank_k=rank_k.reshape(n_pad, S),
         n_occ=n_occ.reshape(n_pad),
-        prefix=prefix.reshape(n_pad, S),
+        rank_prefix=rank_prefix.reshape(n_pad, S),
+        prefix_total=prefix_total.reshape(n_pad),
     )
     # Pad the view to a multiple of the cached-replay tile target: the
     # bake tile is z-row-budgeted (16384 at 1080p -> n_pad = 127 x 16384,
@@ -846,7 +941,7 @@ def bake_path_view(
     # bit-identical frames (only op shapes change).  <= one tile of extra
     # rows (~0.8% at 1080p); images at or under the target already run
     # one dispatch and skip this.
-    target = _cached_tile_target(config)
+    target = _cached_tile_target(config, S)
     if n_pad > target and n_pad % target:
         extra = target - n_pad % target
         pad1 = lambda a: jnp.pad(a, (0, extra))
@@ -861,9 +956,10 @@ def bake_path_view(
             tmin=pad1(view.tmin),
             tmax=pad1(view.tmax),
             live=pad1(view.live),
-            site_rank=pad2(view.site_rank),
+            rank_k=pad2(view.rank_k),
             n_occ=pad1(view.n_occ),
-            prefix=pad2(view.prefix),
+            rank_prefix=pad2(view.rank_prefix),
+            prefix_total=pad1(view.prefix_total),
         )
     return view
 
@@ -934,17 +1030,17 @@ def render_frame(
         # Cached seg1 is fetch-free VPU replay: wide tiles, few dispatches
         # (StaticConfig.path_cached_tile; the bake pads n_pad to a
         # multiple of the target so the wide tile materializes).
-        tile = _chunk_for(n_pad, _cached_tile_target(config))
+        tile = _chunk_for(n_pad, _cached_tile_target(config, S))
         seeds = _seeds(W, rows, row_start, frame_count, n_pad)
         m = n_pad // tile
         r3 = lambda a: a.reshape(m, tile, 3)
         r1 = lambda a: a.reshape(m, tile)
         r2 = lambda a: a.reshape(m, tile, S)
         color, o2, d2, sd2, al2 = jax.lax.map(
-            lambda args: _seg1_frame(params, S, *args),
-            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
-             r1(cache.live), r2(cache.site_rank), r1(cache.n_occ),
-             r2(cache.prefix), r3(seeds)),
+            lambda args: _seg1_frame_rank(params, S, *args),
+            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.n_occ),
+             r2(cache.rank_k), r2(cache.rank_prefix),
+             r1(cache.prefix_total), r3(seeds)),
         )
         state = (color.reshape(n_pad), o2.reshape(n_pad, 3),
                  d2.reshape(n_pad, 3), sd2.reshape(n_pad), cache.tmax,
@@ -1001,7 +1097,7 @@ def render_frames(
 
     n_pad = cache.o_i.shape[0]
     # Wide fetch-free replay tiles, as in render_frame's cached branch.
-    tile = _chunk_for(n_pad, _cached_tile_target(config))
+    tile = _chunk_for(n_pad, _cached_tile_target(config, S))
     m = n_pad // tile
     r3 = lambda a: a.reshape(m, tile, 3)
     r1 = lambda a: a.reshape(m, tile)
@@ -1010,10 +1106,10 @@ def render_frames(
     def frame_seg1(fc):
         seeds = _seeds(W, rows, row_start, fc, n_pad)
         color, o2, d2, sd2, al2 = jax.lax.map(
-            lambda args: _seg1_frame(params, S, *args),
-            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.tmax),
-             r1(cache.live), r2(cache.site_rank), r1(cache.n_occ),
-             r2(cache.prefix), r3(seeds)),
+            lambda args: _seg1_frame_rank(params, S, *args),
+            (r3(cache.o_i), r3(cache.d_i), r1(cache.tmin), r1(cache.n_occ),
+             r2(cache.rank_k), r2(cache.rank_prefix),
+             r1(cache.prefix_total), r3(seeds)),
         )
         return (color.reshape(n_pad), o2.reshape(n_pad, 3),
                 d2.reshape(n_pad, 3), sd2.reshape(n_pad),
