@@ -279,14 +279,15 @@ class StaticConfig:
     # on the last chunk, larger = fewer sequential loop iterations.
     # 2048 measured best at 256^2-1080p scales on v5e.
     path_chunk: int = 2048
-    # Minor-dim width the packed walk state is padded to (13 payload
-    # columns; render.path._scatter_segments).  The per-chunk row
-    # gather/scatter is row-ISSUE-bound and narrow rows gather far below
-    # the fetch-wall rate (13-wide measured 70 ns/row vs the ~12-14
-    # ns/row plateau at widths >= 100: scripts/probe_walk_inloop.py),
-    # so padding the rows buys back most of the walk's state-movement
-    # cost for pure zero bytes.  Values < 13 mean "no padding".
-    path_pack_width: int = 13
+    # Minor-dim width the packed walk state is padded to (9 payload
+    # columns since the round-5 seed-column elimination;
+    # render.path._scatter_segments).  A measurement knob: the chunk row
+    # gather charges ~5 clocks per ELEMENT at narrow widths, and wider
+    # rows' faster per-row rate (width >= 100: ~54-61 ns/row vs 71 at
+    # 13) measured a net frame-level LOSS in every sweep
+    # (sweep_walk_1080p.py), so no padding is the default.  Values <= 9
+    # mean "no padding".
+    path_pack_width: int = 0
     # Sample-axis sub-block of the scatter-segment march: each chunk
     # early-exits once every ray has scattered or left the volume, so
     # typical segments fetch 2-4 sub-blocks instead of the worst-case
@@ -315,6 +316,13 @@ class StaticConfig:
     #             256^2-512^2, span wins at 1080p).
     # Any key is bit-exact (scheduling only).
     path_sort_key: str = "auto"
+    # Sort only at segment 2 and inherit the order afterwards: the
+    # round-5 forwarding walk writes walked rows contiguously, so later
+    # segments' compaction PRESERVES the segment-2 cost order (rays
+    # keep their relative slots; only dead rows drop out).  Scattered
+    # rays draw fresh directions each segment, so the inherited order
+    # decays — a measurement knob (bit-exact either way).
+    path_sort_once: bool = False
     # Scatter-segment empty-space skipping (render.path._walk_chunk
     # march_cell): 0 (default) = auto-derive the largest exact cell
     # (cell * step <= one 8-voxel brick pitch, as the camera view build

@@ -754,13 +754,18 @@ def _compact_indices(alive, cap):
 
 def _scatter_segments(grid, params, config, lut, S, light_local,
                       seed0, state, march_cell=1, n_frames=1,
-                      light_step=None):
+                      light_step=None, seed_spec=None):
     """Unrolled segments 2..max_path_segments, each marching only the
     alive rays (module docstring, level 3): compact the alive indices
     (cumsum + scatter, order-preserving), then a ``while_loop`` walks a
     DYNAMIC number of fixed-width chunks of the compacted list — one
     compiled gather shape regardless of the alive count, adaptive to any
     scene, and exact (no ray is ever dropped; padding rows are masked).
+
+    ``seed_spec`` = (width, rows, row_start, frame_counts): lets the
+    compacted path re-derive per-ray RNG seeds from the original row
+    index instead of carrying three seed columns through every chunk
+    gather (see the pack layout comment below).
 
     Tiny images (n_pad <= path_compact_min) skip the compaction plumbing
     and march full-width."""
@@ -789,38 +794,79 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
     W = _chunk_for(n_pad, max(32, config.path_chunk))
     lanes = jnp.arange(W, dtype=jnp.int32)
 
-    # Per-chunk state moves through ONE packed (n_pad, 13) f32 array —
-    # columns [o(3), d(3), bitcast(seed0)(3), bitcast(seed_draws), tmax,
-    # alive, bitcast(orig_idx)].  Round-5 restructure: walked rows are
-    # written CONTIGUOUSLY into the next segment's buffer (chunk j lands
-    # at rows [j*W, (j+1)*W) — a dynamic_update_slice, free) instead of
-    # scattered back to their original rows, so the state stays in
-    # compacted order across segments and the only per-row scatter left
-    # is a 1-wide color add at the baked original index.  Measured: the
-    # 13-wide row scatter-back cost ~97 ns/row on top of the ~71 ns/row
-    # gather (sweep_walk_1080p.py — the fetch wall charges per ELEMENT
-    # on narrow rows, and pack widths >= 100 lose more at frame level
-    # than their faster row rate buys), and the walk runs ~512 chunks x
-    # 2048 rows per 1080p frame, so dropping the wide scatter removes
-    # the walk's largest stride-invariant term.  Bit-exact: bitcasts
-    # round-trip u32/i32 exactly; chunk membership and row order are
-    # scheduling only (masked rows fetch zero, draw no RNG, add
-    # nothing), and each alive ray appears in exactly one chunk per
+    # Per-chunk state moves through ONE packed (n_pad, 9) f32 array —
+    # columns [o(3), d(3), bitcast(seed_draws), tmax,
+    # bitcast(orig_signed)] where orig_signed is the ray's ORIGINAL
+    # row index, negated to -1 for resolved rays (alive == orig >= 0).
+    # Round-5 restructure, two parts:
+    #   1. Walked rows are written CONTIGUOUSLY into the next segment's
+    #      buffer (chunk j lands at rows [j*W, (j+1)*W) — a
+    #      dynamic_update_slice, free) instead of scattered back to
+    #      their original rows, so the state stays in compacted order
+    #      across segments and the only per-row scatter left is a
+    #      1-wide color add at the original index.  The 13-wide row
+    #      scatter-back cost ~97 ns/row on top of the ~71 ns/row gather
+    #      (sweep_walk_1080p.py — the fetch wall charges per ELEMENT on
+    #      narrow rows; widths >= 100 lose more at frame level than
+    #      their faster row rate buys).
+    #   2. The RNG seed columns are GONE: PATH's per-pixel seed is
+    #      uvec3(px, py, 0) * frameCount (path_compute_color.comp:37),
+    #      a two-multiply function of the original index and the frame
+    #      counter, so each chunk re-derives its seeds from orig_signed
+    #      (seed_spec carries width/rows/row_start/frame_counts) —
+    #      3 fewer gathered columns on every chunk-row, for ~30 VPU ops
+    #      per row.
+    # Bit-exact: bitcasts round-trip u32/i32 exactly; seeds re-derive
+    # to the identical uint32 triple (frame-batch indices resolve by
+    # arithmetic one-hot over the frame axis); chunk membership and row
+    # order are scheduling only (masked rows fetch zero, draw no RNG,
+    # add nothing), and each alive ray appears in exactly one chunk per
     # segment, so the per-ray color accumulation order is unchanged
     # (seg1 + seg2 + ... in sequence).
     _f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     _u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
-    # Rows padded to path_pack_width (>= 13 is a measurement knob; 13
-    # measured best at frame level — see StaticConfig.path_pack_width).
-    PW = max(13, config.path_pack_width)
+    _i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    # Rows padded to path_pack_width (a measurement knob; the 9 payload
+    # columns measured best — see StaticConfig.path_pack_width).
+    PW = max(9, config.path_pack_width)
 
     def _pad_cols(a):
-        return jnp.pad(a, ((0, 0), (0, PW - 13))) if PW > 13 else a
+        return jnp.pad(a, ((0, 0), (0, PW - 9))) if PW > 9 else a
+
+    W_img, rows_img, row_start, frame_counts = seed_spec
+    n_rays_img = rows_img * W_img
+    n_pad_frame = n_pad // max(n_frames, 1)
+    F = frame_counts.shape[0]
+    DEAD = jnp.float32(jax.lax.bitcast_convert_type(
+        jnp.int32(-1), jnp.float32))
+
+    def _chunk_seeds(og):
+        """The _seeds() triple for original rows ``og`` (i32; < 0 dead).
+
+        Identical u32 values: px*fc, py*fc, 0 for image rays; 0 for the
+        bake's padding rows (and for dead rows, whose frame one-hot
+        misses every index)."""
+        ol = og % n_pad_frame
+        f = og // n_pad_frame
+        fc = jnp.zeros(og.shape, jnp.uint32)
+        for j in range(F):
+            fc = fc + jnp.where(
+                f == j, frame_counts[j].astype(jnp.uint32), jnp.uint32(0)
+            )
+        in_img = ol < n_rays_img
+        px = (ol % W_img).astype(jnp.uint32)
+        py = (jnp.asarray(row_start, jnp.int32) + ol // W_img).astype(
+            jnp.uint32)
+        zero = jnp.zeros(og.shape, jnp.uint32)
+        return jnp.stack(
+            [jnp.where(in_img, px * fc, 0), jnp.where(in_img, py * fc, 0),
+             zero], axis=-1,
+        )
 
     orig0 = jnp.arange(n_pad, dtype=jnp.int32)
     A = _pad_cols(jnp.concatenate(
-        [o, d, _f32(seed0), _f32(seed_draws)[:, None], tmax[:, None],
-         alive.astype(jnp.float32)[:, None], _f32(orig0)[:, None]], axis=1,
+        [o, d, _f32(seed_draws)[:, None], tmax[:, None],
+         _f32(jnp.where(alive, orig0, -1))[:, None]], axis=1,
     ))
 
     for _k in range(2, config.max_path_segments + 1):
@@ -828,14 +874,16 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
         # under a count>0 cond: once every ray is resolved the remaining
         # segments cost one reduction each (measured 59 ms/segment of
         # pure full-width sort/compact overhead at 1080p otherwise).
-        count = jnp.sum((A[:, 11] != 0.0).astype(jnp.int32))
+        count = jnp.sum((_i32(A[:, 8]) >= 0).astype(jnp.int32))
 
         def segment_pass(args):
             A, color = args
             o_c, d_c = A[:, 0:3], A[:, 3:6]
-            tmax_c = A[:, 10]
-            alive_c = A[:, 11] != 0.0
-            if config.path_sort_chunks:
+            tmax_c = A[:, 7]
+            alive_c = _i32(A[:, 8]) >= 0
+            if config.path_sort_chunks and not (
+                config.path_sort_once and _k > 2
+            ):
                 idx = _sorted_compact(grid, params, config, S, o_c, d_c,
                                       tmax_c, alive_c,
                                       march_cell=march_cell,
@@ -849,34 +897,34 @@ def _scatter_segments(grid, params, config, lut, S, light_local,
                 idc = jax.lax.dynamic_slice_in_dim(idx, j * W, W)
                 row_valid = (j * W + lanes) < count
                 st = jnp.take(A, idc, axis=0, mode="clip")
+                orig = _i32(st[:, 8])
                 dc, o2, d2, sd2, al2 = _walk_chunk(
                     grid, params, config, lut, S, light_local,
-                    st[:, 0:3], st[:, 3:6], _u32(st[:, 6:9]),
-                    _u32(st[:, 9]), st[:, 10],
-                    (st[:, 11] != 0.0) & row_valid,
+                    st[:, 0:3], st[:, 3:6], _chunk_seeds(orig),
+                    _u32(st[:, 6]), st[:, 7],
+                    (orig >= 0) & row_valid,
                     march_cell=march_cell, light_step=light_step,
                 )
                 st2 = _pad_cols(jnp.concatenate(
-                    [o2, d2, st[:, 6:9], _f32(sd2)[:, None], st[:, 10:11],
-                     al2.astype(jnp.float32)[:, None], st[:, 12:13]],
+                    [o2, d2, _f32(sd2)[:, None], st[:, 7:8],
+                     _f32(jnp.where(al2, orig, -1))[:, None]],
                     axis=1,
                 ))
                 A_next = jax.lax.dynamic_update_slice(A_next, st2, (j * W, 0))
                 # 1-wide color add at the baked original index; padding
                 # rows route out of bounds and drop.
-                orig = jax.lax.bitcast_convert_type(st[:, 12], jnp.int32)
                 tgt = jnp.where(row_valid, orig, n_pad)
                 color = color.at[tgt].add(
                     jnp.where(row_valid, dc, 0.0), mode="drop"
                 )
                 return j + 1, A_next, color
 
+            # Rows never written by a chunk must read DEAD (orig -1).
+            A_init = jnp.zeros_like(A).at[:, 8].set(DEAD)
             _, A_next, color = jax.lax.while_loop(
                 lambda c: c[0] < n_chunks, body,
-                (jnp.zeros((), jnp.int32), jnp.zeros_like(A), color),
+                (jnp.zeros((), jnp.int32), A_init, color),
             )
-            # Rows at or beyond n_chunks*W stay zero: alive=0, so they
-            # key to INT32_MAX next segment and are never walked.
             return A_next, color
 
         A, color = jax.lax.cond(
@@ -1050,6 +1098,8 @@ def render_frame(
         color = _scatter_segments(
             grid, params, config, lut, S, light_local, seeds, state,
             march_cell=march_cell, light_step=light_step,
+            seed_spec=(W, rows, row_start,
+                       jnp.asarray(frame_count, jnp.uint32).reshape(1)),
         )
     else:
         color = state[0]
@@ -1129,6 +1179,8 @@ def render_frames(
         colorF = _scatter_segments(
             grid, params, cfgF, lut, S, light_local, flat(seeds), state,
             march_cell=march_cell, n_frames=F, light_step=light_step,
+            seed_spec=(W, rows, row_start,
+                       jnp.asarray(frame_counts, jnp.uint32)),
         )
     else:
         colorF = state[0]
