@@ -157,6 +157,8 @@ def main() -> None:
         frames=4, warmup=3)
     run("Path 1920x1080 (bar resolution)", A.PATH, 1920, 1080,
         frames=4, warmup=3)
+    run("Path 1920x1080 path_stride=3 (decimated tier)", A.PATH, 1920,
+        1080, frames=8, warmup=3, path_stride=3)
 
     # PATH 1080p fast operating point: frame batching wins ~25% at this
     # scale (scripts/probe_path_1080p.py; retired at 256^2 where it loses
